@@ -1,0 +1,122 @@
+"""Typed configuration tree with the reference project's exact defaults.
+
+Every hard-coded constant of the reference is surfaced here as a dataclass
+field so behavior parity is auditable. Citations point into the reference
+(/root/reference) as ``gui.py:NN`` / ``main.ipynb cell C``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ChessboardConfig:
+    """Calibration-target geometry (reference: gui.py:28, main.ipynb cell 1)."""
+
+    # Inner-corner grid of the calibration chessboard (gui.py:28).
+    cols: int = 9
+    rows: int = 7
+    # Termination criteria of the subpixel refinement (gui.py:29).
+    subpix_max_iter: int = 30
+    subpix_eps: float = 0.001
+    # Half window of cornerSubPix (gui.py:57 uses an 11x11 window).
+    subpix_win: int = 11
+    # Dump corner-annotation images (gui.py:41 defaults False; notebook True).
+    save_corner_annotations: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibrationConfig:
+    """Zhang calibration + LM refinement (reference: gui.py:64-73)."""
+
+    chessboard: ChessboardConfig = dataclasses.field(default_factory=ChessboardConfig)
+    # Number of distortion coefficients, OpenCV default 5: k1,k2,p1,p2,k3.
+    num_dist_coeffs: int = 5
+    # LM iterations (OpenCV calibrateCamera default TermCriteria 30, eps 2.22e-16).
+    lm_max_iter: int = 30
+    lm_eps: float = 2.220446049250313e-16
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Feature detection + matching (reference: gui.py:112-131, 211-241)."""
+
+    # SIFT contrastThreshold default (gui.py:212; OpenCV default 0.04).
+    contrast_threshold: float = 0.04
+    # Lowe ratio: 0.7 in geometry/rectification paths (gui.py:129),
+    # 0.75 in the standalone inspection tab (gui.py:241).
+    ratio_geometry: float = 0.7
+    ratio_inspect: float = 0.75
+    # Maximum keypoints kept per image (static shape bound for TPU).
+    max_keypoints: int = 4096
+    # Descriptor length (XFeat-style learned descriptor; SIFT is 128).
+    descriptor_dim: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class RobustConfig:
+    """Robust two-view estimation (reference: gui.py:135, 142)."""
+
+    # F via LMedS (gui.py:135  cv2.FM_LMEDS).
+    f_method: str = "lmeds"
+    # E via RANSAC with prob=0.999, threshold=1.0 px (gui.py:142).
+    e_prob: float = 0.999
+    e_threshold_px: float = 1.0
+    # Fixed hypothesis budget (TPU-native: batched, static shape).
+    num_hypotheses: int = 512
+    # Points per minimal sample (normalized 8-point solver).
+    sample_size: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class RectifyConfig:
+    """Stereo rectification (reference: gui.py:157, main.ipynb cell 7)."""
+
+    # alpha=1.0 keeps all source pixels visible (gui.py:157).
+    alpha: float = 1.0
+    # Default fallback K when no calibration available (gui.py:93-94).
+    default_fx: float = 1000.0
+    default_fy: float = 1000.0
+    default_cx: float = 960.0
+    default_cy: float = 540.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SGBMConfig:
+    """Dense disparity, exact cv2.StereoSGBM parameter set (main.ipynb cell 10).
+
+    blockSize=11, P1=8*3*11^2, P2=32*3*11^2, disp12MaxDiff=1, preFilterCap=63,
+    uniquenessRatio=10, speckleWindowSize=100, speckleRange=32, /16 output.
+    """
+
+    min_disparity: int = 0
+    num_disparities: int = 128
+    block_size: int = 11
+    p1: int = 8 * 3 * 11 * 11
+    p2: int = 32 * 3 * 11 * 11
+    disp12_max_diff: int = 1
+    pre_filter_cap: int = 63
+    uniqueness_ratio: int = 10
+    speckle_window_size: int = 100
+    speckle_range: int = 32
+    # 8-direction full SGM ("MODE_HH" analog); 5 matches cv2 default single pass.
+    num_directions: int = 8
+
+    def with_(self, **kw) -> "SGBMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    calibration: CalibrationConfig = dataclasses.field(default_factory=CalibrationConfig)
+    match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    robust: RobustConfig = dataclasses.field(default_factory=RobustConfig)
+    rectify: RectifyConfig = dataclasses.field(default_factory=RectifyConfig)
+    sgbm: SGBMConfig = dataclasses.field(default_factory=SGBMConfig)
+    # Reference hardcodes (3840, 2160) (gui.py:109); we derive from the image.
+    image_size: Tuple[int, int] | None = None
+
+
+DEFAULT = PipelineConfig()

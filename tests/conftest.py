@@ -1,0 +1,28 @@
+"""Test config: run on a virtual 8-device CPU mesh with float64 enabled.
+
+Multi-chip sharding tests use the standard JAX fake-multi-device technique
+(SURVEY.md §4): XLA_FLAGS=--xla_force_host_platform_device_count=8.
+Must be set before jax initializes, hence here at conftest import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+# The environment's sitecustomize pins jax_platforms to the TPU plugin;
+# override via config (env var alone is not enough once it has registered).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
