@@ -1,0 +1,187 @@
+"""Fixed-budget batched robust estimation (RANSAC / LMedS) — TPU-native.
+
+Replaces cv2.findFundamentalMat(FM_LMEDS) (gui.py:135) and
+cv2.findEssentialMat(RANSAC, prob=0.999, thr=1.0) (gui.py:142). Instead of
+the sequential hypothesize-and-verify loop OpenCV runs, all M hypotheses are
+drawn, solved, and scored simultaneously:
+
+    sample (M, k) indices -> vmapped minimal solver -> (M, 3, 3) models
+    -> residual matrix (M, N) in one shot -> argmin/argmax score.
+
+Static shapes throughout: points come in fixed-size arrays with a validity
+mask (the matcher's output convention), so the whole engine jits once and
+runs for any true correspondence count.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_reconstruction_cv_tpu.ops import epipolar as EP
+from stereo_reconstruction_cv_tpu.ops import geometry as G
+
+
+class RobustResult(NamedTuple):
+    model: jnp.ndarray          # (3, 3) best model (refit on inliers)
+    inlier_mask: jnp.ndarray    # (N,) bool
+    num_inliers: jnp.ndarray    # scalar int
+    score: jnp.ndarray          # scalar: inlier count (ransac) / -median (lmeds)
+
+
+def _sample_indices(key, num_points: int, mask: jnp.ndarray, num_hypotheses: int, k: int):
+    """(M, k) distinct valid indices per hypothesis via the Gumbel top-k
+    trick: random keys, invalid entries at -inf, take the k largest."""
+    gumbel = jax.random.gumbel(key, (num_hypotheses, num_points))
+    gumbel = jnp.where(mask[None, :], gumbel, -jnp.inf)
+    _, idx = jax.lax.top_k(gumbel, k)
+    return idx
+
+
+def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over valid entries only; invalid sorted to +inf. (M, N) -> (M,)."""
+    n_valid = jnp.sum(mask)
+    v = jnp.where(mask[None, :], values, jnp.inf)
+    v = jnp.sort(v, axis=-1)
+    mid = jnp.maximum(n_valid - 1, 0) // 2
+    lo = jnp.take_along_axis(v, jnp.full((v.shape[0], 1), mid), axis=-1)[:, 0]
+    hi = jnp.take_along_axis(
+        v, jnp.full((v.shape[0], 1), jnp.minimum(mid + (1 - n_valid % 2), n_valid - 1)), axis=-1
+    )[:, 0]
+    return 0.5 * (lo + hi)
+
+
+def robust_fit(
+    key: jax.Array,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    mask: jnp.ndarray,
+    solver: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    residual_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    refit: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    method: str = "ransac",
+    num_hypotheses: int = 512,
+    sample_size: int = 8,
+    threshold: float = 1.0,
+) -> RobustResult:
+    """Generic fixed-budget robust model fit.
+
+    solver(p1 (k,2), p2 (k,2)) -> model; residual_fn(model, pts1, pts2) ->
+    squared residual (N,); refit(pts1, pts2, weights) -> model.
+    method: 'ransac' (count inliers under threshold^2) or 'lmeds'
+    (minimize median squared residual; inliers by the 2.5-sigma MAD rule
+    OpenCV uses in its LMedS implementation).
+    """
+    num_points = pts1.shape[0]
+    idx = _sample_indices(key, num_points, mask, num_hypotheses, sample_size)
+    s1 = pts1[idx]  # (M, k, 2)
+    s2 = pts2[idx]
+    models = jax.vmap(solver)(s1, s2)  # (M, 3, 3)
+    residuals = jax.vmap(lambda m: residual_fn(m, pts1, pts2))(models)  # (M, N)
+    residuals = jnp.nan_to_num(residuals, nan=jnp.inf, posinf=jnp.inf)
+
+    thr2 = jnp.asarray(threshold, residuals.dtype) ** 2
+    if method == "ransac":
+        inlier = (residuals < thr2) & mask[None, :]
+        score = jnp.sum(inlier, axis=-1)
+        best = jnp.argmax(score)
+        best_inliers = inlier[best]
+        best_score = score[best].astype(residuals.dtype)
+    elif method == "lmeds":
+        med = _masked_median(residuals, mask)
+        best = jnp.argmin(med)
+        n_valid = jnp.sum(mask)
+        # OpenCV's robust scale: sigma = 2.5 * 1.4826 * (1 + 5/(n-k)) * sqrt(med)
+        sigma = (
+            2.5
+            * 1.4826
+            * (1.0 + 5.0 / jnp.maximum(n_valid - sample_size, 1))
+            * jnp.sqrt(jnp.maximum(med[best], 0.0))
+        )
+        best_inliers = (residuals[best] < jnp.maximum(sigma, 1e-12) ** 2) & mask
+        best_score = -med[best]
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    # Final least-squares refit on the inlier set (weighted, static shape).
+    w = best_inliers.astype(pts1.dtype)
+    refit_model = refit(pts1, pts2, w)
+    # Guard: if the refit degenerates (too few inliers), keep the minimal model.
+    enough = jnp.sum(best_inliers) >= sample_size
+    model = jnp.where(enough, refit_model, models[best])
+    return RobustResult(model, best_inliers, jnp.sum(best_inliers), best_score)
+
+
+# ---------------------------------------------------------------------------
+# Instances: F via LMedS / RANSAC, E via RANSAC  (reference parameter sets)
+# ---------------------------------------------------------------------------
+
+def find_fundamental(
+    key: jax.Array,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    method: str = "lmeds",
+    num_hypotheses: int = 512,
+    threshold: float = 1.0,
+) -> RobustResult:
+    """Robust F. Default LMedS matches the reference (gui.py:135 FM_LMEDS).
+
+    Residual: Sampson distance in pixels (squared)."""
+    if mask is None:
+        mask = jnp.ones(pts1.shape[0], bool)
+
+    def solver(p1, p2):
+        return EP.eight_point(p1, p2)
+
+    def residual(Fm, p1, p2):
+        return G.sampson_error(Fm, p1, p2)
+
+    def refit(p1, p2, w):
+        return EP.eight_point(p1, p2, weights=w)
+
+    return robust_fit(
+        key, pts1, pts2, mask, solver, residual, refit,
+        method=method, num_hypotheses=num_hypotheses, sample_size=8,
+        threshold=threshold,
+    )
+
+
+def find_essential(
+    key: jax.Array,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    K: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    threshold_px: float = 1.0,
+    num_hypotheses: int = 512,
+) -> RobustResult:
+    """Robust E via batched RANSAC on K-normalized coords.
+
+    Matches the reference call cv2.findEssentialMat(..., RANSAC, 0.999, 1.0)
+    (gui.py:142): the pixel threshold is divided by the mean focal length,
+    exactly as OpenCV does internally. Solver: normalized 8-point projected
+    to the essential manifold (SURVEY §2.3 sanctions 8-point here)."""
+    if mask is None:
+        mask = jnp.ones(pts1.shape[0], bool)
+    n1 = EP.pixel_to_normalized(pts1, K)
+    n2 = EP.pixel_to_normalized(pts2, K)
+    f_mean = 0.5 * (K[0, 0] + K[1, 1])
+    thr = jnp.asarray(threshold_px, n1.dtype) / f_mean
+
+    def solver(p1, p2):
+        return EP.essential_8pt(p1, p2)
+
+    def residual(Em, p1, p2):
+        return G.sampson_error(Em, p1, p2)
+
+    def refit(p1, p2, w):
+        return EP.essential_8pt(p1, p2, weights=w)
+
+    return robust_fit(
+        key, n1, n2, mask, solver, residual, refit,
+        method="ransac", num_hypotheses=num_hypotheses, sample_size=8,
+        threshold=thr,
+    )
