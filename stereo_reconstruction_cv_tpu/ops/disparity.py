@@ -84,19 +84,25 @@ def _bt_plane(
     H, W = left.shape
     llo, lhi = _halfpixel_range(left)
     rlo, rhi = _halfpixel_range(right)
-    xs = jnp.arange(W)
+    # Static shifted slices (one fused pad+slice per d) instead of gathers —
+    # XLA lowers these to plain windowed reads, ~5x faster than gather.
+    pad_lo = num_disp - 1 + min_disp
+    edge = [(0, 0), (max(pad_lo, 0), 0)]
 
-    def cost_at(d):
-        xr = jnp.clip(xs - (min_disp + d), 0, W - 1)
-        rv = right[:, xr]
-        r0 = rlo[:, xr]
-        r1 = rhi[:, xr]
+    def shifted(a, d):
+        s = min_disp + d
+        ap = jnp.pad(a, edge, mode="edge")
+        return jax.lax.slice_in_dim(ap, pad_lo - s, pad_lo - s + W, axis=1)
+
+    outs = []
+    for d in range(num_disp):
+        rv = shifted(right, d)
+        r0 = shifted(rlo, d)
+        r1 = shifted(rhi, d)
         c0 = jnp.maximum(jnp.maximum(left - r1, r0 - left), 0)
         c1 = jnp.maximum(jnp.maximum(rv - lhi, llo - rv), 0)
-        return jnp.minimum(c0, c1)
-
-    vol = jax.vmap(cost_at, out_axes=-1)(jnp.arange(num_disp))
-    return vol.astype(jnp.int32)
+        outs.append(jnp.minimum(c0, c1))
+    return jnp.stack(outs, axis=-1).astype(jnp.int32)
 
 
 def bt_cost_volume(
@@ -154,11 +160,59 @@ def _sgm_step(prev: jnp.ndarray, cost: jnp.ndarray, p1: int, p2: int) -> jnp.nda
     return cost + best - min_prev
 
 
-def _scan_dir(C: jnp.ndarray, dx: int, dy: int, p1: int, p2: int) -> jnp.ndarray:
+def _shift_cols(a: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Shift along axis -2 (the column axis of a (..., W, D) carry), zero fill."""
+    if shift > 0:
+        return jnp.concatenate(
+            [a[..., shift:, :], jnp.zeros_like(a[..., :shift, :])], axis=-2
+        )
+    return jnp.concatenate(
+        [jnp.zeros_like(a[..., shift:, :]), a[..., :shift, :]], axis=-2
+    )
+
+
+def _chunked_scan(seq: jnp.ndarray, step, chunk: int | None, halo: int) -> jnp.ndarray:
+    """Run the DP recurrence along axis 0 of `seq`, optionally chunked.
+
+    chunk=None: exact sequential lax.scan (N steps).
+    chunked: split into N/chunk blocks scanned *in parallel*, each warm-
+    started from `halo` extra leading elements with a zero carry (SGM path
+    influence decays geometrically under P2 normalization, so a 32-element
+    halo reproduces the exact scan almost everywhere). Cuts the sequential
+    depth from N to chunk+halo and multiplies the per-step vector width by
+    N/chunk — the difference between 1100-step and 96-step scans on TPU.
+    """
+
+    def plain(s):
+        f = lambda carry, c: (lambda L: (L, L))(step(carry, c))
+        _, out = jax.lax.scan(f, jnp.zeros_like(s[0]), s)
+        return out
+
+    N = seq.shape[0]
+    if chunk is None or N <= chunk + halo:
+        return plain(seq)
+    halo = min(halo, chunk)
+    nc = -(-N // chunk)
+    npad = nc * chunk
+    seqp = jnp.pad(seq, [(0, npad - N)] + [(0, 0)] * (seq.ndim - 1))
+    chunks = seqp.reshape(nc, chunk, *seq.shape[1:])
+    halos = jnp.concatenate(
+        [jnp.zeros_like(chunks[:1, :halo]), chunks[:-1, chunk - halo :]], axis=0
+    )
+    ext = jnp.moveaxis(jnp.concatenate([halos, chunks], axis=1), 1, 0)
+    out = plain(ext)[halo:]  # (chunk, nc, ...)
+    out = jnp.moveaxis(out, 0, 1).reshape(npad, *seq.shape[1:])
+    return out[:N]
+
+
+def _scan_dir(
+    C: jnp.ndarray, dx: int, dy: int, p1: int, p2: int,
+    chunk: int | None = 64, halo: int = 32,
+) -> jnp.ndarray:
     """Aggregate along one path direction r=(dx, dy). C: (H, W, D) int32.
 
-    Paths with dy != 0 scan over rows (carry (W, D)), shifting the carry by
-    dx per step for diagonals; dy == 0 scans over columns (carry (H, D)).
+    Paths with dy != 0 scan over rows (carry (..., W, D), shifted by dx per
+    step for diagonals); dy == 0 scans over columns (carry (..., H, D)).
     Zero-initialized carries make boundary pixels reduce to L = C exactly
     (min(0, 0+P1, 0+P2) - 0 == 0), matching the path-start convention.
     """
@@ -166,12 +220,7 @@ def _scan_dir(C: jnp.ndarray, dx: int, dy: int, p1: int, p2: int) -> jnp.ndarray
         # Horizontal: scan along x; flip so the scan always runs "forward".
         vol = C if dx > 0 else C[:, ::-1]
         seq = jnp.moveaxis(vol, 1, 0)  # (W, H, D)
-
-        def step(carry, c):
-            L = _sgm_step(carry, c, p1, p2)
-            return L, L
-
-        _, out = jax.lax.scan(step, jnp.zeros_like(seq[0]), seq)
+        out = _chunked_scan(seq, lambda p, c: _sgm_step(p, c, p1, p2), chunk, halo)
         out = jnp.moveaxis(out, 0, 1)
         return out if dx > 0 else out[:, ::-1]
 
@@ -179,26 +228,10 @@ def _scan_dir(C: jnp.ndarray, dx: int, dy: int, p1: int, p2: int) -> jnp.ndarray
     if dx != 0:
         # Diagonal: predecessor is one column over in the previous row.
         shift = -dx  # carry[x] must come from prev row at x - dx
-
-        def stepd(carry, c):
-            if shift > 0:
-                shifted = jnp.concatenate(
-                    [carry[shift:], jnp.zeros_like(carry[:shift])], axis=0
-                )
-            else:
-                shifted = jnp.concatenate(
-                    [jnp.zeros_like(carry[shift:]), carry[:shift]], axis=0
-                )
-            L = _sgm_step(shifted, c, p1, p2)
-            return L, L
-
-        _, out = jax.lax.scan(stepd, jnp.zeros_like(vol[0]), vol)
+        step = lambda p, c: _sgm_step(_shift_cols(p, shift), c, p1, p2)
     else:
-        def stepv(carry, c):
-            L = _sgm_step(carry, c, p1, p2)
-            return L, L
-
-        _, out = jax.lax.scan(stepv, jnp.zeros_like(vol[0]), vol)
+        step = lambda p, c: _sgm_step(p, c, p1, p2)
+    out = _chunked_scan(vol, step, chunk, halo)
     return out if dy > 0 else out[::-1]
 
 
@@ -207,11 +240,13 @@ def sgm_aggregate(
     p1: int,
     p2: int,
     directions: Sequence[Tuple[int, int]] = DIRS_8,
+    chunk: int | None = 64,
+    halo: int = 32,
 ) -> jnp.ndarray:
     """Sum of per-direction DP aggregations. (H, W, D) -> (H, W, D)."""
     S = jnp.zeros_like(C)
     for dx, dy in directions:
-        S = S + _scan_dir(C, dx, dy, p1, p2)
+        S = S + _scan_dir(C, dx, dy, p1, p2, chunk, halo)
     return S
 
 
@@ -388,7 +423,7 @@ def sgbm_disparity(
     C = C[:, x0:, :]  # crop to the computed region [minX1, W)
     C = block_sum(C, cfg.block_size)
     dirs = DIRS_8 if cfg.num_directions == 8 else DIRS_5
-    S = sgm_aggregate(C, cfg.p1, cfg.p2, dirs)
+    S = sgm_aggregate(C, cfg.p1, cfg.p2, dirs, cfg.scan_chunk, cfg.scan_halo)
     disp, valid = wta_disparity(S, cfg.min_disparity, cfg.uniqueness_ratio)
     if cfg.disp12_max_diff >= 0:
         valid &= lr_check(S, disp, cfg.min_disparity, cfg.disp12_max_diff)
