@@ -104,9 +104,11 @@ class SGBMConfig:
     # 5 = cv2 default MODE_SGBM paths {L, R, UL, U, UR} (reference parity);
     # 8 = full SGM ("MODE_HH" analog, higher quality).
     num_directions: int = 5
-    # DP scan chunking (TPU): blocks of `scan_chunk` scanned in parallel,
-    # warm-started with `scan_halo` halo elements. None = exact sequential.
-    scan_chunk: int | None = 64
+    # DP scan chunking: blocks of `scan_chunk` scanned in parallel, warm-
+    # started with `scan_halo` halo elements. None = exact sequential scan
+    # (the default: on TPU the XLA chunked form loses to relayout cost;
+    # the Pallas aggregation kernel owns the fast path instead).
+    scan_chunk: int | None = None
     scan_halo: int = 32
 
     def with_(self, **kw) -> "SGBMConfig":

@@ -1,0 +1,267 @@
+"""XFeat-style learned feature detector/descriptor in Flax.
+
+The reference endorses XFeat learned matching as its accelerated feature
+path (README.md:24, 40-49 [branch xfeat_integ]; torch dependency in
+environment.yml:100). This is a ground-up JAX implementation of the same
+*idea* — a small convnet emitting a keypoint heatmap, dense 64-d
+descriptors and a reliability map — designed for the MXU: all convs are
+channels-last NHWC, bfloat16-friendly, static shapes, and detection is a
+top-k over the heatmap (no data-dependent shapes).
+
+Architecture (XFeat-flavored, not a weight-compatible port):
+  keypoint branch: 8x8 space-to-depth of the grayscale image -> 1x1 conv
+    stack -> (H/8, W/8, 65) logits (64 cell positions + dustbin).
+  descriptor branch: strided conv pyramid 1 -> 24 -> 64 at 1/8 resolution
+    with a skip fusion, emitting 64-d descriptors + reliability.
+
+Training: self-supervised homographic-pair distillation — warp an image
+with a random homography, require (i) descriptor InfoNCE between
+corresponding cells and (ii) keypoint-heatmap consistency under the warp.
+One jitted train step, data-parallel over a device mesh ('data' axis).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+
+CELL = 8  # keypoint cell size (1/8 resolution), as in SuperPoint/XFeat
+
+
+class ConvBlock(nn.Module):
+    ch: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride), use_bias=False)(x)
+        x = nn.LayerNorm()(x)
+        return nn.relu(x)
+
+
+class XFeatNet(nn.Module):
+    """Grayscale (B, H, W, 1) in [0, 1] -> (heatmap logits, descriptors,
+    reliability). H, W must be multiples of 8."""
+
+    desc_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        # --- keypoint branch: space-to-depth + 1x1 convs (cheap, full-res info)
+        s2d = x.reshape(B, H // CELL, CELL, W // CELL, CELL, 1)
+        s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // CELL, W // CELL, CELL * CELL)
+        k = nn.relu(nn.Conv(64, (1, 1))(s2d))
+        k = nn.relu(nn.Conv(64, (1, 1))(k))
+        kpt_logits = nn.Conv(CELL * CELL + 1, (1, 1))(k)  # (B, H/8, W/8, 65)
+
+        # --- descriptor branch: strided pyramid to 1/8
+        d1 = ConvBlock(8)(x)            # H
+        d1 = ConvBlock(24, stride=2)(d1)  # H/2
+        d2 = ConvBlock(24)(d1)
+        d2 = ConvBlock(48, stride=2)(d2)  # H/4
+        d3 = ConvBlock(48)(d2)
+        d3 = ConvBlock(96, stride=2)(d3)  # H/8
+        d4 = ConvBlock(96)(d3)
+        d4 = ConvBlock(96)(d4)
+        fused = d4 + nn.Conv(96, (1, 1))(jax.image.resize(d2, d4.shape[:3] + (48,), "bilinear"))
+        desc = nn.Conv(self.desc_dim, (1, 1))(fused)  # (B, H/8, W/8, 64)
+        desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+        reliability = nn.sigmoid(nn.Conv(1, (1, 1))(fused)[..., 0])
+        return kpt_logits, desc, reliability
+
+
+class Features(NamedTuple):
+    keypoints: jnp.ndarray   # (N, 2) xy, full-res pixels
+    scores: jnp.ndarray      # (N,)
+    descriptors: jnp.ndarray  # (N, D) L2-normalized
+    mask: jnp.ndarray        # (N,) valid
+
+
+def heatmap_from_logits(kpt_logits: jnp.ndarray) -> jnp.ndarray:
+    """(B, Hc, Wc, 65) -> (B, H, W) full-res keypoint probability."""
+    prob = jax.nn.softmax(kpt_logits, axis=-1)[..., :-1]  # drop dustbin
+    B, Hc, Wc, _ = prob.shape
+    prob = prob.reshape(B, Hc, Wc, CELL, CELL)
+    prob = prob.transpose(0, 1, 3, 2, 4).reshape(B, Hc * CELL, Wc * CELL)
+    return prob
+
+
+def detect(
+    params,
+    model: XFeatNet,
+    img: jnp.ndarray,
+    max_keypoints: int = 1024,
+    nms_radius: int = 4,
+) -> Features:
+    """Static-shape detection: top-k NMS peaks of the heatmap, descriptors
+    bilinearly sampled from the 1/8 grid. img: (H, W) uint8/float."""
+    x = (img.astype(jnp.float32) / 255.0)[None, ..., None]
+    kpt_logits, desc, reliability = model.apply(params, x)
+    heat = heatmap_from_logits(kpt_logits)[0]
+    H, W = heat.shape
+    # NMS via max-pool equality.
+    k = 2 * nms_radius + 1
+    pooled = nn.max_pool(heat[None, ..., None], (k, k), padding="SAME")[0, ..., 0]
+    is_peak = (heat == pooled) & (heat > 0)
+    scores = jnp.where(is_peak, heat, 0.0).ravel()
+    top, idx = jax.lax.top_k(scores, max_keypoints)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    kpts = jnp.stack([xs, ys], axis=-1)
+    # Bilinear descriptor sampling on the 1/8 grid.
+    gx = xs / CELL - 0.5
+    gy = ys / CELL - 0.5
+    Hc, Wc = desc.shape[1:3]
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, Wc - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, Hc - 2)
+    fx = jnp.clip(gx - x0, 0.0, 1.0)[:, None]
+    fy = jnp.clip(gy - y0, 0.0, 1.0)[:, None]
+    d = desc[0]
+    v = (
+        d[y0, x0] * (1 - fx) * (1 - fy)
+        + d[y0, x0 + 1] * fx * (1 - fy)
+        + d[y0 + 1, x0] * (1 - fx) * fy
+        + d[y0 + 1, x0 + 1] * fx * fy
+    )
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
+    rel = reliability[0][jnp.clip(ys.astype(jnp.int32) // CELL, 0, Hc - 1),
+                         jnp.clip(xs.astype(jnp.int32) // CELL, 0, Wc - 1)]
+    return Features(kpts, top * rel, v, top > 0)
+
+
+# ---------------------------------------------------------------------------
+# Self-supervised training (homographic pairs)
+# ---------------------------------------------------------------------------
+
+def random_homography(key, H: int, W: int, max_shift: float = 0.15):
+    """Random perspective warp mapping image A coords -> image B coords."""
+    k1, k2 = jax.random.split(key)
+    corners = jnp.array([[0.0, 0.0], [W, 0.0], [0.0, H], [W, H]])
+    shift = jax.random.uniform(k1, (4, 2), minval=-max_shift, maxval=max_shift)
+    target = corners + shift * jnp.array([W, H])
+    # DLT for the 4-point homography (in f32; conditioning fine at image scale)
+    def row(c, t):
+        x, y = c
+        u, v = t
+        return jnp.array(
+            [
+                [x, y, 1, 0, 0, 0, -u * x, -u * y, -u],
+                [0, 0, 0, x, y, 1, -v * x, -v * y, -v],
+            ]
+        )
+
+    A = jnp.concatenate([row(corners[i], target[i]) for i in range(4)], axis=0)
+    _, _, vt = jnp.linalg.svd(A)
+    Hm = vt[-1].reshape(3, 3)
+    return Hm / Hm[2, 2]
+
+
+def warp_image(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-warp (H, W) image by homography (bilinear, zero border)."""
+    H, W = img.shape
+    Hinv = jnp.linalg.inv(Hm)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    den = Hinv[2, 0] * xx + Hinv[2, 1] * yy + Hinv[2, 2]
+    sx = (Hinv[0, 0] * xx + Hinv[0, 1] * yy + Hinv[0, 2]) / den
+    sy = (Hinv[1, 0] * xx + Hinv[1, 1] * yy + Hinv[1, 2]) / den
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    fx = sx - x0
+    fy = sy - y0
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return jnp.where(inb, img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)], 0)
+
+    return (
+        tap(x0, y0) * (1 - fx) * (1 - fy)
+        + tap(x0 + 1, y0) * fx * (1 - fy)
+        + tap(x0, y0 + 1) * (1 - fx) * fy
+        + tap(x0 + 1, y0 + 1) * fx * fy
+    )
+
+
+def _cell_centers(Hc: int, Wc: int) -> jnp.ndarray:
+    ys = (jnp.arange(Hc, dtype=jnp.float32) + 0.5) * CELL
+    xs = (jnp.arange(Wc, dtype=jnp.float32) + 0.5) * CELL
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    return jnp.stack([gx, gy], axis=-1)  # (Hc, Wc, 2)
+
+
+def xfeat_loss(params, model: XFeatNet, imgs: jnp.ndarray, key) -> jnp.ndarray:
+    """Self-supervised loss over a batch of grayscale images (B, H, W)."""
+    B, H, W = imgs.shape
+    keys = jax.random.split(key, B)
+    Hms = jax.vmap(lambda k: random_homography(k, H, W))(keys)
+    warped = jax.vmap(warp_image)(imgs.astype(jnp.float32), Hms)
+    xa = (imgs.astype(jnp.float32) / 255.0)[..., None]
+    xb = (warped / 255.0)[..., None]
+    la, da, ra = model.apply(params, xa)
+    lb, db, rb = model.apply(params, xb)
+    Hc, Wc = da.shape[1:3]
+    centers = _cell_centers(Hc, Wc)  # (Hc, Wc, 2) in image A
+
+    def per_image(Hm, da_i, db_i, la_i, lb_i, ra_i):
+        # Map A cell centers into B, find the B cell they land in.
+        ch = jnp.concatenate([centers, jnp.ones_like(centers[..., :1])], axis=-1)
+        pb = ch @ Hm.T
+        pb = pb[..., :2] / pb[..., 2:3]
+        cb = jnp.round(pb / CELL - 0.5).astype(jnp.int32)
+        valid = (
+            (cb[..., 0] >= 0) & (cb[..., 0] < Wc) & (cb[..., 1] >= 0) & (cb[..., 1] < Hc)
+        )
+        cbx = jnp.clip(cb[..., 0], 0, Wc - 1)
+        cby = jnp.clip(cb[..., 1], 0, Hc - 1)
+        # InfoNCE: A cell descriptor should match its B counterpart.
+        a = da_i.reshape(-1, da_i.shape[-1])  # (N, D)
+        pos = db_i[cby, cbx].reshape(-1, da_i.shape[-1])
+        logits = a @ db_i.reshape(-1, da_i.shape[-1]).T / 0.1  # (N, M)
+        pos_sim = jnp.sum(a * pos, axis=-1) / 0.1
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        nce = (lse - pos_sim) * valid.ravel()
+        desc_loss = jnp.sum(nce) / (jnp.sum(valid) + 1e-6)
+        # Keypoint consistency: heatmaps agree under the warp (cell level).
+        pa = jax.nn.softmax(la_i, axis=-1)[..., :-1].sum(-1)  # cell keypoint-ness
+        pb_map = jax.nn.softmax(lb_i, axis=-1)[..., :-1].sum(-1)
+        pb_at_a = pb_map[cby, cbx]
+        kpt_loss = jnp.sum(((pa - pb_at_a) ** 2) * valid) / (jnp.sum(valid) + 1e-6)
+        # Reliability should track descriptor correctness (stop-grad target).
+        correct = jax.lax.stop_gradient(
+            (jnp.argmax(logits, axis=-1) == (cby * Wc + cbx).ravel()).astype(jnp.float32)
+        )
+        rel_loss = jnp.mean((ra_i.ravel() - correct) ** 2 * valid.ravel())
+        return desc_loss + kpt_loss + 0.5 * rel_loss
+
+    losses = jax.vmap(per_image)(Hms, da, db, la, lb, ra)
+    return jnp.mean(losses)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def create_train_state(key, model: XFeatNet, input_shape: Tuple[int, int], lr: float = 1e-3):
+    H, W = input_shape
+    params = model.init(key, jnp.zeros((1, H, W, 1), jnp.float32))
+    tx = optax.adam(lr)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def train_step(state: TrainState, tx, model: XFeatNet, imgs: jnp.ndarray, key):
+    """One optimizer step. Data-parallel: shard `imgs` over the mesh 'data'
+    axis and jit with sharded in_shardings — gradients reduce automatically
+    (XLA inserts the psum)."""
+    loss, grads = jax.value_and_grad(xfeat_loss)(state.params, model, imgs, key)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss

@@ -1,0 +1,79 @@
+"""XFeat-style model tests: shapes, training step, learned matching sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stereo_reconstruction_cv_tpu.models import xfeat as XF
+from stereo_reconstruction_cv_tpu.ops import matching as M
+
+
+@pytest.fixture(scope="module")
+def model():
+    return XF.XFeatNet()
+
+
+@pytest.fixture(scope="module")
+def state_tx(model):
+    return XF.create_train_state(jax.random.PRNGKey(0), model, (64, 96))
+
+
+class TestShapes:
+    def test_forward_shapes(self, model, state_tx):
+        state, _ = state_tx
+        x = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 96, 1))
+        logits, desc, rel = model.apply(state.params, x)
+        assert logits.shape == (2, 8, 12, 65)
+        assert desc.shape == (2, 8, 12, 64)
+        assert rel.shape == (2, 8, 12)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(desc, axis=-1)), 1.0, atol=1e-4
+        )
+
+    def test_detect_static_shapes(self, model, state_tx, rng):
+        state, _ = state_tx
+        img = rng.integers(0, 255, size=(64, 96)).astype(np.uint8)
+        feats = XF.detect(state.params, model, jnp.asarray(img), max_keypoints=128)
+        assert feats.keypoints.shape == (128, 2)
+        assert feats.descriptors.shape == (128, 64)
+
+
+class TestTraining:
+    def test_loss_decreases(self, model, rng):
+        state, tx = XF.create_train_state(jax.random.PRNGKey(1), model, (64, 96))
+        # textured batch
+        imgs = rng.uniform(0, 255, size=(4, 64, 96)).astype(np.float32)
+        import scipy.ndimage as ndi
+
+        imgs = np.stack([ndi.gaussian_filter(i, 2.0) * 4 % 255 for i in imgs])
+        imgs_j = jnp.asarray(imgs)
+        step = jax.jit(lambda s, i, k: XF.train_step(s, tx, model, i, k))
+        losses = []
+        key = jax.random.PRNGKey(2)
+        for it in range(30):
+            key, sub = jax.random.split(key)
+            state, loss = step(state, imgs_j, sub)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8, losses[::10]
+
+    def test_trained_descriptors_match_under_warp(self, model, rng):
+        """After brief training, corresponding cells should be mutual NNs."""
+        state, tx = XF.create_train_state(jax.random.PRNGKey(1), model, (64, 96))
+        import scipy.ndimage as ndi
+
+        imgs = rng.uniform(0, 255, size=(4, 64, 96)).astype(np.float32)
+        imgs = np.stack([ndi.gaussian_filter(i, 1.5) * 6 % 255 for i in imgs])
+        imgs_j = jnp.asarray(imgs)
+        step = jax.jit(lambda s, i, k: XF.train_step(s, tx, model, i, k))
+        key = jax.random.PRNGKey(3)
+        for _ in range(60):
+            key, sub = jax.random.split(key)
+            state, loss = step(state, imgs_j, sub)
+        # identity-warp pair: descriptors of the same image must self-match
+        x = (imgs_j[:1, ..., None] / 255.0).astype(jnp.float32)
+        _, desc, _ = model.apply(state.params, x)
+        d = desc[0].reshape(-1, 64)
+        res = M.knn2_match(d, d + 0.001, ratio=1.0)
+        acc = float(jnp.mean(res.indices == jnp.arange(d.shape[0])))
+        assert acc > 0.9, acc
