@@ -1,0 +1,217 @@
+"""Command-line interface — headless verbs replacing the reference's GUI tabs.
+
+Tab mapping (README.md:55-114; gui.py tabs):
+  Tab 1 Camera Calibration      -> `calibrate`
+  Tab 2 Stereo Rectification    -> `rectify`
+  Tab 3 Feature Detect/Match    -> `match`
+  Tab 4 Geometry Estimation     -> `geometry`
+  Tab 5 Triangulation [branch]  -> `triangulate`
+  Tab 6 Disparity/Dense [branch]-> `disparity` / `reconstruct`
+  Tab 7 XFeat matching [branch] -> `match --learned`
+plus `bench`. Outputs go to files (PNG/NPZ/PLY) instead of Tk windows —
+headless-first for TPU hosts (SURVEY §7 step 8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _print_named(results):
+    for name, value in results:
+        print(f"\n== {name} ==")
+        print(value)
+
+
+def cmd_calibrate(args):
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+
+    out = stages.calibrate(args.folder, tuple(args.chessboard))
+    if "error" in out:
+        print(out["error"], file=sys.stderr)
+        return 1
+    _print_named(out["results"])
+    print(f"\nRMS: {out['rms']:.4f}  images used: {out['num_images']}")
+    if args.save:
+        np.savez(args.save, K=out["K"], dist=out["dist"], rvecs=out["rvecs"], tvecs=out["tvecs"])
+        print(f"saved calibration to {args.save}")
+    return 0
+
+
+def _load_K(args):
+    if getattr(args, "calibration", None):
+        z = np.load(args.calibration)
+        return z["K"]
+    return None
+
+
+def cmd_rectify(args):
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+    from stereo_reconstruction_cv_tpu.io.image import save_image
+
+    out = stages.rectify_pair(args.pair, baseline=args.baseline, camera_matrix=_load_K(args))
+    os.makedirs(args.outdir, exist_ok=True)
+    save_image(os.path.join(args.outdir, "left_rectified.jpg"), out["left_rectified"])
+    save_image(os.path.join(args.outdir, "right_rectified.jpg"), out["right_rectified"])
+    for key in (
+        "Left Epilines (before)", "Right Points (before)",
+        "Left Epilines (after)", "Right Points (after)",
+    ):
+        if key in out:
+            fname = key.lower().replace(" ", "_").replace("(", "").replace(")", "") + ".png"
+            save_image(os.path.join(args.outdir, fname), out[key])
+    np.savez(
+        os.path.join(args.outdir, "rectification.npz"),
+        **{k: out[k] for k in ("R1", "R2", "P1", "P2", "Q")},
+    )
+    print("Q:\n", out["Q"])
+    print(f"epiline mean |slope| after rectification: {out['epiline_mean_abs_slope']:.5f}")
+    print(f"artifacts written to {args.outdir}/")
+    return 0
+
+
+def cmd_match(args):
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+
+    out = stages.detect_match(args.pair, contrast_threshold=args.contrast_threshold)
+    print(f"keypoints: left={out['num_keypoints'][0]} right={out['num_keypoints'][1]}")
+    print(f"good matches (ratio 0.75): {out['num_good_matches']}")
+    if args.save:
+        np.savez(args.save, **{k: v for k, v in out.items() if isinstance(v, np.ndarray)})
+        print(f"saved matches to {args.save}")
+    return 0
+
+
+def cmd_geometry(args):
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+
+    out = stages.estimate_geometry(args.pair, baseline=args.baseline, camera_matrix=_load_K(args))
+    for k in ("Essential Matrix", "Rotation Matrix", "Translation Vector"):
+        print(f"\n== {k} ==\n{out[k]}")
+    print(f"\nmatches: {out['num_matches']}  F inliers: {out['num_inliers_F']}  E inliers: {out['num_inliers_E']}")
+    return 0
+
+
+def cmd_triangulate(args):
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+    from stereo_reconstruction_cv_tpu.io.ply import write_ply
+
+    out = stages.triangulate_sparse(args.pair, camera_matrix=_load_K(args), baseline=args.baseline)
+    pts = out["points"][out["valid"]]
+    n = write_ply(args.output, pts)
+    print(f"triangulated {n} points -> {args.output}")
+    return 0
+
+
+def cmd_disparity(args):
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+    from stereo_reconstruction_cv_tpu.io.image import load_stereo_pair, save_image
+    from stereo_reconstruction_cv_tpu.utils.draw import colormap_jet
+
+    imL, imR = load_stereo_pair(args.pair)
+    disp = stages.disparity(imL, imR, ndisp=args.ndisp, mindis=args.mindisp)
+    os.makedirs(args.outdir, exist_ok=True)
+    np.save(os.path.join(args.outdir, "disparity.npy"), disp)
+    save_image(os.path.join(args.outdir, "disparity_jet.png"), colormap_jet(disp))
+    print(f"disparity range [{disp.min():.2f}, {disp.max():.2f}] -> {args.outdir}/")
+    return 0
+
+
+def cmd_reconstruct(args):
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+    from stereo_reconstruction_cv_tpu.io.image import load_stereo_pair, load_rgb
+
+    imL, imR = load_stereo_pair(args.pair)
+    if args.rectification:
+        Q = np.load(args.rectification)["Q"]
+    else:
+        rect = stages.rectify_pair(args.pair, baseline=args.baseline, camera_matrix=_load_K(args),
+                                   with_visualizations=False)
+        imL, imR = rect["left_rectified"], rect["right_rectified"]
+        Q = rect["Q"]
+    disp = stages.disparity(imL, imR, ndisp=args.ndisp, mindis=args.mindisp)
+    pts = stages.reconstruct(disp, Q)
+    colors = None
+    p1 = os.path.join(args.pair, "img1.jpg")
+    if os.path.exists(p1):
+        rgb = load_rgb(p1)
+        if rgb.shape[:2] == disp.shape:
+            colors = rgb
+    n = stages.export_point_cloud(args.output, pts, disp, colors)
+    print(f"wrote {n} points -> {args.output}")
+    return 0
+
+
+def cmd_bench(args):
+    import subprocess
+
+    return subprocess.call([sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="stereo-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("calibrate", help="chessboard camera calibration (Tab 1)")
+    c.add_argument("folder")
+    c.add_argument("--chessboard", type=int, nargs=2, default=[9, 7])
+    c.add_argument("--save", default=None)
+    c.set_defaults(fn=cmd_calibrate)
+
+    r = sub.add_parser("rectify", help="two-view rectification (Tab 2)")
+    r.add_argument("pair")
+    r.add_argument("--baseline", type=float, default=0.1)
+    r.add_argument("--calibration", default=None)
+    r.add_argument("--outdir", default="rectify_out")
+    r.set_defaults(fn=cmd_rectify)
+
+    m = sub.add_parser("match", help="feature detect/match (Tabs 3/7)")
+    m.add_argument("pair")
+    m.add_argument("--contrast-threshold", type=float, default=0.04)
+    m.add_argument("--save", default=None)
+    m.set_defaults(fn=cmd_match)
+
+    g = sub.add_parser("geometry", help="E/R/T estimation (Tab 4)")
+    g.add_argument("pair")
+    g.add_argument("--baseline", type=float, default=0.1)
+    g.add_argument("--calibration", default=None)
+    g.set_defaults(fn=cmd_geometry)
+
+    t = sub.add_parser("triangulate", help="sparse reconstruction (Tab 5)")
+    t.add_argument("pair")
+    t.add_argument("--baseline", type=float, default=0.1)
+    t.add_argument("--calibration", default=None)
+    t.add_argument("--output", default="sparse_cloud.ply")
+    t.set_defaults(fn=cmd_triangulate)
+
+    d = sub.add_parser("disparity", help="dense disparity (Tab 6)")
+    d.add_argument("pair")
+    d.add_argument("--ndisp", type=int, default=16)
+    d.add_argument("--mindisp", type=int, default=0)
+    d.add_argument("--outdir", default="disparity_out")
+    d.set_defaults(fn=cmd_disparity)
+
+    rc = sub.add_parser("reconstruct", help="pair -> dense point cloud (Tab 6)")
+    rc.add_argument("pair")
+    rc.add_argument("--baseline", type=float, default=0.1)
+    rc.add_argument("--calibration", default=None)
+    rc.add_argument("--rectification", default=None, help="rectification.npz with Q")
+    rc.add_argument("--ndisp", type=int, default=64)
+    rc.add_argument("--mindisp", type=int, default=0)
+    rc.add_argument("--output", default="point_cloud.ply")
+    rc.set_defaults(fn=cmd_reconstruct)
+
+    b = sub.add_parser("bench", help="run the benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

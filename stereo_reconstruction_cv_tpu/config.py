@@ -64,8 +64,10 @@ class RobustConfig:
     # E via RANSAC with prob=0.999, threshold=1.0 px (gui.py:142).
     e_prob: float = 0.999
     e_threshold_px: float = 1.0
-    # Fixed hypothesis budget (TPU-native: batched, static shape).
-    num_hypotheses: int = 512
+    # Fixed hypothesis budget (TPU-native: batched, static shape). All
+    # hypotheses solve/score simultaneously, so a large budget is cheap and
+    # stabilizes the pose against small inlier sets.
+    num_hypotheses: int = 1024
     # Points per minimal sample (normalized 8-point solver).
     sample_size: int = 8
 

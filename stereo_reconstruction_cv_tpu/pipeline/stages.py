@@ -1,0 +1,355 @@
+"""Pipeline stages mirroring the reference's function surface (SURVEY §2.1).
+
+Each stage is the TPU-native equivalent of a reference entry point:
+
+  calibrate            <- cam_calib (gui.py:27-75, ipynb cell 1)
+  detect_match         <- feat_detect_match (gui.py:211-261)
+  estimate_geometry    <- stereo_geometry_estimation (gui.py:263-322)
+  rectify_pair         <- stereo_rect (gui.py:92-209, cells 5-8)
+  disparity            <- compute_disparity_map (cell 10)
+  reconstruct          <- reconstruct_3D (cell 11)
+  triangulate_sparse   <- triangulatePoints path (README.md:29 [branch])
+  export_point_cloud   <- visualize/write_point_cloud (cells 12-13)
+
+Folder conventions preserved: calibration folders glob *.jpg; a stereo pair
+is img1.jpg/img2.jpg. Stage outputs are plain dataclass-like dicts of
+arrays (GUI-free; artifacts instead of Tk windows). All heavy math runs
+jitted on the accelerator; stages accept/return numpy at the boundary.
+
+Documented behavior quirks of the reference preserved or fixed (SURVEY §7
+"quirks"): the user-supplied baseline seeds T but recoverPose returns a
+unit-norm T (gui.py:108 vs :145) — we expose both `baseline` (metric) and
+the unit T, and scale Q by the metric baseline when provided, which is the
+consciously-fixed behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_reconstruction_cv_tpu import config as cfg_mod
+from stereo_reconstruction_cv_tpu.calib import chessboard as CB
+from stereo_reconstruction_cv_tpu.calib import zhang as Z
+from stereo_reconstruction_cv_tpu.io import image as IO
+from stereo_reconstruction_cv_tpu.io import ply as PLY
+from stereo_reconstruction_cv_tpu.ops import disparity as DP
+from stereo_reconstruction_cv_tpu.ops import epipolar as EP
+from stereo_reconstruction_cv_tpu.ops import features as FT
+from stereo_reconstruction_cv_tpu.ops import geometry as G
+from stereo_reconstruction_cv_tpu.ops import matching as M
+from stereo_reconstruction_cv_tpu.ops import rectify as RC
+from stereo_reconstruction_cv_tpu.ops import robust as RB
+
+
+def default_camera_matrix(cfg: cfg_mod.RectifyConfig = cfg_mod.DEFAULT.rectify) -> np.ndarray:
+    """The reference's fallback K (gui.py:93-94, 264-265)."""
+    return np.array(
+        [[cfg.default_fx, 0, cfg.default_cx], [0, cfg.default_fy, cfg.default_cy], [0, 0, 1.0]]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+def calibrate(
+    folder: str,
+    chessboard: Tuple[int, int] = (9, 7),
+    cache=None,
+) -> Dict:
+    """cam_calib parity: glob *.jpg, find chessboards, calibrate.
+
+    Returns dict with K, dist, per-image detections, reprojection errors,
+    and the reference's result-tuple format under 'results'."""
+    files = IO.glob_calibration_images(folder)
+    if not files:
+        return {"error": f"no *.jpg calibration images in {folder!r}"}
+    key = {"files": files}
+    if cache is not None:
+        hit = cache.load("calibrate", key)
+        if hit is not None:
+            hit["results"] = _calib_results_tuple(hit)
+            return hit
+    cols, rows = chessboard
+    pts, used = [], []
+    for f in files:
+        gray = IO.load_gray(f)
+        found, corners = CB.find_chessboard_corners(jnp.asarray(gray), cols, rows)
+        if found:
+            pts.append(np.asarray(corners))
+            used.append(f)
+    if len(pts) < 3:
+        return {"error": f"chessboard found in only {len(pts)} images"}
+    obj = np.asarray(Z.build_object_points(cols, rows))
+    H, W = IO.load_gray(used[0]).shape
+    res = Z.calibrate_camera(
+        jnp.asarray(obj), jnp.asarray(np.stack(pts), dtype=jnp.float64), (W, H)
+    )
+    out = {
+        "K": np.asarray(res.K),
+        "dist": np.asarray(res.dist),
+        "rvecs": np.asarray(res.rvecs),
+        "tvecs": np.asarray(res.tvecs),
+        "rms": float(res.rms),
+        "mean_error": float(res.mean_error),
+        "per_view_error": np.asarray(res.per_view_error),
+        "num_images": len(pts),
+    }
+    if cache is not None:
+        cache.save("calibrate", key, {k: v for k, v in out.items() if isinstance(v, np.ndarray)})
+    out["results"] = _calib_results_tuple(out)
+    return out
+
+
+def _calib_results_tuple(out):
+    """The reference's return shape (gui.py:75)."""
+    return [
+        ("Camera Matrix", out["K"]),
+        ("Distortion Parameters", out["dist"]),
+        ("Reprojection Error", out.get("mean_error", float(np.asarray(out.get("mean_error", 0))))),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Features & matching
+# ---------------------------------------------------------------------------
+
+def detect_match(
+    folder_or_pair,
+    contrast_threshold: float = 0.04,
+    ratio: float = 0.75,
+    max_keypoints: int = 2048,
+) -> Dict:
+    """feat_detect_match parity (gui.py:211-261): keypoints, descriptors,
+    kNN matches + Lowe ratio (0.75 on this inspection path, gui.py:241)."""
+    imL, imR = _load_pair(folder_or_pair)
+    fl = FT.detect_and_describe(jnp.asarray(imL), max_keypoints, contrast_threshold)
+    fr = FT.detect_and_describe(jnp.asarray(imR), max_keypoints, contrast_threshold)
+    mres = M.knn2_match(
+        fl.descriptors.astype(jnp.float32),
+        fr.descriptors.astype(jnp.float32),
+        fl.mask, fr.mask, ratio=ratio,
+    )
+    return {
+        "keypoints1": np.asarray(fl.keypoints),
+        "keypoints2": np.asarray(fr.keypoints),
+        "descriptors1": np.asarray(fl.descriptors),
+        "descriptors2": np.asarray(fr.descriptors),
+        "num_keypoints": (int(fl.mask.sum()), int(fr.mask.sum())),
+        "match_indices": np.asarray(mres.indices),
+        "match_mask": np.asarray(mres.mask),
+        "num_good_matches": int(mres.mask.sum()),
+    }
+
+
+def _load_pair(folder_or_pair):
+    if isinstance(folder_or_pair, str):
+        return IO.load_stereo_pair(folder_or_pair)
+    return folder_or_pair
+
+
+def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig):
+    fl = FT.detect_and_describe(jnp.asarray(imL), cfg.max_keypoints, cfg.contrast_threshold)
+    fr = FT.detect_and_describe(jnp.asarray(imR), cfg.max_keypoints, cfg.contrast_threshold)
+    mres = M.knn2_match(
+        fl.descriptors.astype(jnp.float32),
+        fr.descriptors.astype(jnp.float32),
+        fl.mask, fr.mask, ratio=cfg.ratio_geometry, mutual=True,
+    )
+    p1, p2, mask = M.gather_correspondences(fl.keypoints, fr.keypoints, mres)
+    return p1.astype(jnp.float64), p2.astype(jnp.float64), mask
+
+
+# ---------------------------------------------------------------------------
+# Two-view geometry
+# ---------------------------------------------------------------------------
+
+def estimate_geometry(
+    folder_or_pair,
+    baseline: float = 0.1,
+    camera_matrix: Optional[np.ndarray] = None,
+    seed: int = 0,
+    pipeline_cfg: cfg_mod.PipelineConfig = cfg_mod.DEFAULT,
+) -> Dict:
+    """stereo_geometry_estimation parity (gui.py:263-322): SIFT-sem match
+    (ratio 0.7) -> F (LMedS) -> E (RANSAC p=.999 thr=1px) -> recoverPose.
+
+    Returns the reference's dict {"Essential Matrix", "Rotation Matrix",
+    "Translation Vector"} plus F, inlier masks and diagnostics."""
+    imL, imR = _load_pair(folder_or_pair)
+    K = np.asarray(camera_matrix) if camera_matrix is not None else default_camera_matrix()
+    p1, p2, mask = _match_for_geometry(imL, imR, pipeline_cfg.match)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 2)
+    fres = RB.find_fundamental(
+        keys[0], p1, p2, mask=mask,
+        method=pipeline_cfg.robust.f_method,
+        num_hypotheses=pipeline_cfg.robust.num_hypotheses,
+    )
+    eres = RB.find_essential(
+        keys[1], p1, p2, jnp.asarray(K), mask=fres.inlier_mask,
+        threshold_px=pipeline_cfg.robust.e_threshold_px,
+        num_hypotheses=2 * pipeline_cfg.robust.num_hypotheses,
+    )
+    n1 = EP.pixel_to_normalized(p1, jnp.asarray(K))
+    n2 = EP.pixel_to_normalized(p2, jnp.asarray(K))
+    R, T, pose_mask, votes = EP.recover_pose(
+        eres.model, n1, n2, weights=eres.inlier_mask.astype(n1.dtype)
+    )
+    return {
+        "Essential Matrix": np.asarray(eres.model),
+        "Rotation Matrix": np.asarray(R),
+        "Translation Vector": np.asarray(T).reshape(3, 1),
+        "F": np.asarray(fres.model),
+        "baseline": baseline,  # metric scale (unit-norm T quirk, see module doc)
+        "num_matches": int(mask.sum()),
+        "num_inliers_F": int(fres.num_inliers),
+        "num_inliers_E": int(eres.num_inliers),
+        "pts1": np.asarray(p1),
+        "pts2": np.asarray(p2),
+        "inlier_mask": np.asarray(eres.inlier_mask),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Rectification
+# ---------------------------------------------------------------------------
+
+def rectify_pair(
+    folder_or_pair,
+    baseline: float = 0.1,
+    camera_matrix: Optional[np.ndarray] = None,
+    alpha: float = 1.0,
+    seed: int = 0,
+    with_visualizations: bool = True,
+    pipeline_cfg: cfg_mod.PipelineConfig = cfg_mod.DEFAULT,
+) -> Dict:
+    """stereo_rect parity (gui.py:92-209): estimate geometry, rectify with
+    alpha=1.0, fused remap both images, re-verify epipolar geometry on the
+    rectified pair; optional before/after epiline visualizations."""
+    imL, imR = _load_pair(folder_or_pair)
+    K = np.asarray(camera_matrix) if camera_matrix is not None else default_camera_matrix()
+    geo = estimate_geometry((imL, imR), baseline, K, seed, pipeline_cfg)
+    R = jnp.asarray(geo["Rotation Matrix"])
+    T = jnp.asarray(geo["Translation Vector"]).reshape(3) * baseline
+    H, W = imL.shape
+    rr = RC.stereo_rectify(
+        jnp.asarray(K), None, jnp.asarray(K), None, (W, H), R, T, alpha=alpha
+    )
+    left_rect = np.asarray(
+        RC.rectify_remap(jnp.asarray(imL), jnp.asarray(K), None, rr.R1, rr.P1)
+    )
+    right_rect = np.asarray(
+        RC.rectify_remap(jnp.asarray(imR), jnp.asarray(K), None, rr.R2, rr.P2)
+    )
+    out = {
+        "left_rectified": left_rect,
+        "right_rectified": right_rect,
+        "R1": np.asarray(rr.R1), "R2": np.asarray(rr.R2),
+        "P1": np.asarray(rr.P1), "P2": np.asarray(rr.P2),
+        "Q": np.asarray(rr.Q),
+        "geometry": geo,
+    }
+    # Verification pass: re-match on the rectified pair, recompute F, check
+    # the epilines are horizontal (the reference's visual check, gui.py:167-195).
+    p1r, p2r, maskr = _match_for_geometry(left_rect, right_rect, pipeline_cfg.match)
+    fres = RB.find_fundamental(jax.random.PRNGKey(seed + 1), p1r, p2r, mask=maskr)
+    lines = G.compute_epilines(p1r, fres.model, 1)
+    slopes = np.abs(np.asarray(lines[:, 0] / (jnp.abs(lines[:, 1]) + 1e-9)))
+    out["F_rectified"] = np.asarray(fres.model)
+    out["epiline_mean_abs_slope"] = float(
+        np.mean(slopes[np.asarray(fres.inlier_mask)]) if fres.inlier_mask.any() else np.inf
+    )
+    if with_visualizations:
+        from stereo_reconstruction_cv_tpu.utils import draw as DR
+
+        inl = np.asarray(geo["inlier_mask"])
+        sel = np.nonzero(inl)[0][:30]
+        lines_before = np.asarray(
+            G.compute_epilines(jnp.asarray(geo["pts2"][sel]), jnp.asarray(geo["F"]), 2)
+        )
+        vis1, vis2 = DR.draw_epilines(imL, imR, lines_before, geo["pts1"][sel], geo["pts2"][sel])
+        selr = np.nonzero(np.asarray(fres.inlier_mask))[0][:30]
+        lines_after = np.asarray(G.compute_epilines(p2r[selr], fres.model, 2))
+        vis3, vis4 = DR.draw_epilines(
+            left_rect, right_rect, lines_after, np.asarray(p1r)[selr], np.asarray(p2r)[selr]
+        )
+        out.update(
+            {
+                "Left Epilines (before)": vis1,
+                "Right Points (before)": vis2,
+                "Left Epilines (after)": vis3,
+                "Right Points (after)": vis4,
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dense reconstruction
+# ---------------------------------------------------------------------------
+
+def disparity(imgL, imgR, ndisp: int = 16, mindis: int = 0) -> np.ndarray:
+    """compute_disparity_map parity (cell 10): float map, /16 semantics,
+    non-positive zeroed."""
+    return np.asarray(
+        DP.compute_disparity_map(jnp.asarray(imgL), jnp.asarray(imgR), ndisp, mindis)
+    )
+
+
+def reconstruct(disparity_map, Q) -> np.ndarray:
+    """reconstruct_3D parity (cell 11): (H, W, 3) point image."""
+    return np.asarray(
+        G.reproject_image_to_3d(jnp.asarray(disparity_map, dtype=jnp.float32), jnp.asarray(Q, dtype=jnp.float32))
+    )
+
+
+def export_point_cloud(
+    path: str, points_3d, disparity_map, colors=None
+) -> int:
+    """Validity-masked PLY export (cells 12-13): finite & disparity > 0."""
+    pts = jnp.asarray(points_3d)
+    d = jnp.asarray(disparity_map)
+    mask = np.asarray(G.valid_point_mask(pts, d)).ravel()
+    p = np.asarray(pts).reshape(-1, 3)[mask]
+    c = None
+    if colors is not None:
+        c = np.asarray(colors).reshape(-1, 3)[mask]
+    return PLY.write_ply(path, p, c)
+
+
+# ---------------------------------------------------------------------------
+# Sparse reconstruction (triangulation path, [branch] capability)
+# ---------------------------------------------------------------------------
+
+def triangulate_sparse(
+    folder_or_pair,
+    camera_matrix: Optional[np.ndarray] = None,
+    baseline: float = 0.1,
+    seed: int = 0,
+    pipeline_cfg: cfg_mod.PipelineConfig = cfg_mod.DEFAULT,
+) -> Dict:
+    """Sparse 3D from matched inliers via batched DLT triangulation
+    (README.md:29, 84-86): P1 = K[I|0], P2 = K[R|T*baseline]."""
+    imL, imR = _load_pair(folder_or_pair)
+    K = np.asarray(camera_matrix) if camera_matrix is not None else default_camera_matrix()
+    geo = estimate_geometry((imL, imR), baseline, K, seed, pipeline_cfg)
+    Kj = jnp.asarray(K)
+    R = jnp.asarray(geo["Rotation Matrix"])
+    T = jnp.asarray(geo["Translation Vector"]).reshape(3) * baseline
+    P1 = Kj @ jnp.eye(3, 4, dtype=Kj.dtype)
+    P2 = Kj @ jnp.concatenate([R, T[:, None]], axis=1)
+    inl = jnp.asarray(geo["inlier_mask"])
+    pts3d = G.triangulate_to_3d(P1, P2, jnp.asarray(geo["pts1"]), jnp.asarray(geo["pts2"]))
+    depths = pts3d[:, 2]
+    good = inl & (depths > 0) & jnp.all(jnp.isfinite(pts3d), axis=-1)
+    return {
+        "points": np.asarray(pts3d),
+        "valid": np.asarray(good),
+        "num_points": int(good.sum()),
+        "geometry": geo,
+    }
