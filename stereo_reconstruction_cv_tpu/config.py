@@ -112,6 +112,9 @@ class SGBMConfig:
     # the Pallas aggregation kernel owns the fast path instead).
     scan_chunk: int | None = None
     scan_halo: int = 32
+    # Aggregation backend: 'pallas' (TPU sweep kernels, bit-exact, ~3x the
+    # XLA scans), 'xla' (lax.scan reference), or 'auto' (pallas on TPU).
+    backend: str = "auto"
 
     def with_(self, **kw) -> "SGBMConfig":
         return dataclasses.replace(self, **kw)

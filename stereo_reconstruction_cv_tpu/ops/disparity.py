@@ -422,8 +422,18 @@ def sgbm_disparity(
     C = bt_cost_volume(sl, sr, rawl, rawr, cfg.num_disparities, cfg.min_disparity)
     C = C[:, x0:, :]  # crop to the computed region [minX1, W)
     C = block_sum(C, cfg.block_size)
-    dirs = DIRS_8 if cfg.num_directions == 8 else DIRS_5
-    S = sgm_aggregate(C, cfg.p1, cfg.p2, dirs, cfg.scan_chunk, cfg.scan_halo)
+    use_pallas = cfg.backend == "pallas" or (
+        cfg.backend == "auto" and jax.default_backend() not in ("cpu",)
+    )
+    if use_pallas:
+        from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import (
+            sgm_aggregate_pallas,
+        )
+
+        S = sgm_aggregate_pallas(C, cfg.p1, cfg.p2, cfg.num_directions)
+    else:
+        dirs = DIRS_8 if cfg.num_directions == 8 else DIRS_5
+        S = sgm_aggregate(C, cfg.p1, cfg.p2, dirs, cfg.scan_chunk, cfg.scan_halo)
     disp, valid = wta_disparity(S, cfg.min_disparity, cfg.uniqueness_ratio)
     if cfg.disp12_max_diff >= 0:
         valid &= lr_check(S, disp, cfg.min_disparity, cfg.disp12_max_diff)
