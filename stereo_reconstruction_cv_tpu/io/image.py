@@ -16,12 +16,27 @@ from PIL import Image
 
 
 def load_gray(path: str) -> np.ndarray:
-    """(H, W) uint8 grayscale, BT.601 luma (matches cv2.IMREAD_GRAYSCALE)."""
+    """(H, W) uint8 grayscale, BT.601 luma (matches cv2.IMREAD_GRAYSCALE).
+
+    Uses the native libjpeg decoder (bit-exact vs cv2.imread, releases the
+    GIL) when available; PIL otherwise."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from stereo_reconstruction_cv_tpu import native
+
+        img = native.load_image(path, gray=True)
+        if img is not None:
+            return img
     return np.asarray(Image.open(path).convert("L"))
 
 
 def load_rgb(path: str) -> np.ndarray:
     """(H, W, 3) uint8 RGB."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from stereo_reconstruction_cv_tpu import native
+
+        img = native.load_image(path, gray=False)
+        if img is not None:
+            return img
     return np.asarray(Image.open(path).convert("RGB"))
 
 

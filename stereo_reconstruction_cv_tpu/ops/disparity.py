@@ -299,30 +299,34 @@ def lr_check(
     at valid right partners that disagree by more than max_diff."""
     H, Wc, D = S.shape  # S covers cropped columns [x0, x0 + Wc) of the image
     x0 = min_disp + D  # OpenCV's minX1 for min_disp >= 0
-    xs_full = jnp.arange(x0 + Wc)
+    W_full = x0 + Wc
     BIG = jnp.int32(1 << 29)
     best = jnp.argmin(S, axis=-1).astype(jnp.int32)  # (H, Wc) winner index
     minS = jnp.min(S, axis=-1)
 
-    def right_candidate(d):
-        """Candidate winning cost scattered to right column xr (full coords)."""
-        xl = xs_full + min_disp + d  # left partner, full coords
-        xl_c = jnp.clip(xl - x0, 0, Wc - 1)
-        in_crop = (xl >= x0) & (xl < x0 + Wc)
-        is_winner = best[:, xl_c] == d
-        return jnp.where(is_winner & in_crop[None, :], minS[:, xl_c], BIG)
+    # Winner-only right-view cost, via static shifted slices (gather-free:
+    # shifts compile to windowed reads, ~10x faster than per-d gathers).
+    # Full-width frame: column x of `best`/`minS` lives at x0 + x.
+    pad_best = jnp.pad(best, ((0, 0), (x0, D + min_disp)), constant_values=-1)
+    pad_minS = jnp.pad(minS, ((0, 0), (x0, D + min_disp)), constant_values=BIG)
 
-    SR = jax.vmap(right_candidate, out_axes=-1)(jnp.arange(D))  # (H, W, D)
+    def right_candidate(d):
+        s = min_disp + d  # left partner offset
+        b = jax.lax.slice_in_dim(pad_best, s, s + W_full, axis=1)
+        v = jax.lax.slice_in_dim(pad_minS, s, s + W_full, axis=1)
+        return jnp.where(b == d, v, BIG)
+
+    SR = jnp.stack([right_candidate(d) for d in range(D)], axis=-1)  # (H, Wf, D)
     has_partner = jnp.any(SR < BIG, axis=-1)
     dispR = jnp.argmin(SR, axis=-1) + min_disp  # integer disparity units
 
     def check(d_int):
         """True where the partner at x - d_int confirms disparity d_int."""
         xr = (jnp.arange(Wc) + x0)[None, :] - d_int
-        xr_c = jnp.clip(xr, 0, x0 + Wc - 1)
+        xr_c = jnp.clip(xr, 0, W_full - 1)
         partner_valid = jnp.take_along_axis(has_partner, xr_c, axis=1)
         dR = jnp.take_along_axis(dispR, xr_c, axis=1)
-        in_img = (xr >= 0) & (xr < x0 + Wc)
+        in_img = (xr >= 0) & (xr < W_full)
         agree = jnp.abs(dR - d_int) <= max_diff
         # Off-image or invalid partner -> the check passes (cv2 keeps it).
         return ~(in_img & partner_valid) | agree
