@@ -451,6 +451,39 @@ def sgbm_disparity(
     return disp, valid
 
 
+def sgbm_disparity_tiled(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: SGBMConfig,
+    tile_rows: int = 512,
+    halo: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SGBM for frames whose cost volume exceeds HBM (4K x 256 disparities
+    is ~8 GB as int32 — BASELINE config 3): process row tiles with a
+    `halo`-row warm-start overlap (same scheme as the multi-chip row
+    sharding, parallel/sgm_sharded.py) and stitch; the speckle filter runs
+    globally afterwards. Peak memory scales with tile_rows, not H."""
+    H, W = left.shape
+    if H <= tile_rows:
+        return sgbm_disparity(left, right, cfg)
+    core = cfg.with_(speckle_window_size=0)
+    disp_parts, valid_parts = [], []
+    for y0 in range(0, H, tile_rows):
+        y1 = min(y0 + tile_rows, H)
+        a = max(y0 - halo, 0)
+        b = min(y1 + halo, H)
+        d, v = sgbm_disparity(left[a:b], right[a:b], core)
+        disp_parts.append(d[y0 - a : y0 - a + (y1 - y0)])
+        valid_parts.append(v[y0 - a : y0 - a + (y1 - y0)])
+    disp = jnp.concatenate(disp_parts, axis=0)
+    valid = jnp.concatenate(valid_parts, axis=0)
+    if cfg.speckle_window_size > 0:
+        valid = speckle_filter(
+            disp, valid, cfg.speckle_window_size, float(cfg.speckle_range)
+        )
+    return disp, valid
+
+
 def compute_disparity_map(
     imgL: jnp.ndarray, imgR: jnp.ndarray, ndisp: int = 16, mindis: int = 0
 ) -> jnp.ndarray:

@@ -145,3 +145,19 @@ class TestVsOpenCV:
         left, right, _ = make_stereo_pair(rng, H=64, W=96, dmax=8)
         out = np.asarray(DP.compute_disparity_map(jnp.asarray(left), jnp.asarray(right), 16, 0))
         assert (out >= 0).all()  # non-positive zeroed (cell 10 +38-39)
+
+
+class TestTiled:
+    def test_tiled_matches_untiled(self, rng):
+        imL = cv2.resize(cv2.imread("/root/reference/dataset/d2/img1.jpg", 0), (320, 256))
+        imR = cv2.resize(cv2.imread("/root/reference/dataset/d2/img2.jpg", 0), (320, 256))
+        cfg = SGBMConfig(num_disparities=32, num_directions=8)
+        d1, v1 = DP.sgbm_disparity(jnp.asarray(imL), jnp.asarray(imR), cfg)
+        d2, v2 = DP.sgbm_disparity_tiled(
+            jnp.asarray(imL), jnp.asarray(imR), cfg, tile_rows=96, halo=32
+        )
+        b = np.asarray(v1) & np.asarray(v2)
+        diff = np.abs(np.asarray(d1) - np.asarray(d2))
+        assert (diff[b] <= 1).mean() >= 0.99
+        iou = (np.asarray(v1) & np.asarray(v2)).sum() / (np.asarray(v1) | np.asarray(v2)).sum()
+        assert iou > 0.9
