@@ -120,15 +120,22 @@ def bt_cost_volume(
     c_raw = _bt_plane(
         left_raw.astype(jnp.int32), right_raw.astype(jnp.int32), num_disp, min_disp
     )
-    return c_sobel + (c_raw >> 2)
+    # Per-pixel cost <= 2*cap + 255>>2 = 189; the 11x11 block sum tops out
+    # at 22869 — int16 storage halves cost-volume HBM traffic.
+    return (c_sobel + (c_raw >> 2)).astype(jnp.int16)
 
 
 def block_sum(vol: jnp.ndarray, block_size: int) -> jnp.ndarray:
     """SAD aggregation: (H, W, D) -> same shape, each entry the sum over a
     block_size x block_size spatial window (edge-replicated, OpenCV clamps
     the window to the image which is equivalent for interior-dominant use).
-    Separable two-pass running sum — O(1) per pixel, bandwidth bound."""
+    Separable two-pass running sum — O(1) per pixel, bandwidth bound.
+    Integer inputs accumulate in int32 (running sums overflow int16) and
+    are stored back at the input width."""
     r = block_size // 2
+    dtype_in = vol.dtype
+    if jnp.issubdtype(dtype_in, jnp.integer):
+        vol = vol.astype(jnp.int32)
 
     def box1d(x, axis):
         pad = [(0, 0)] * x.ndim
@@ -139,7 +146,7 @@ def block_sum(vol: jnp.ndarray, block_size: int) -> jnp.ndarray:
         lo = jax.lax.slice_in_dim(cs, 0, x.shape[axis], axis=axis)
         return hi - lo
 
-    return box1d(box1d(vol, 0), 1)
+    return box1d(box1d(vol, 0), 1).astype(dtype_in)
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +250,8 @@ def sgm_aggregate(
     chunk: int | None = 64,
     halo: int = 32,
 ) -> jnp.ndarray:
-    """Sum of per-direction DP aggregations. (H, W, D) -> (H, W, D)."""
+    """Sum of per-direction DP aggregations. (H, W, D) -> (H, W, D) int32."""
+    C = C.astype(jnp.int32)  # cost may be stored int16; sums need int32
     S = jnp.zeros_like(C)
     for dx, dy in directions:
         S = S + _scan_dir(C, dx, dy, p1, p2, chunk, halo)
@@ -272,10 +280,12 @@ def wta_disparity(
     close_cost = (S * (100 - uniqueness_ratio) < minS[..., None] * 100) & far
     valid = ~jnp.any(close_cost, axis=-1)
     # Subpixel: d + (S[d-1] - S[d+1]) / (2 * max(S[d-1]+S[d+1]-2S[d], 1)).
+    # Gather-free S[best±1]: one-hot masked reductions (TPU gathers along
+    # the minor axis are ~10x slower than a masked reduce pass).
     bm1 = jnp.clip(best - 1, 0, D - 1)
     bp1 = jnp.clip(best + 1, 0, D - 1)
-    Sm1 = jnp.take_along_axis(S, bm1[..., None], axis=-1)[..., 0]
-    Sp1 = jnp.take_along_axis(S, bp1[..., None], axis=-1)[..., 0]
+    Sm1 = jnp.sum(jnp.where(d_idx == bm1[..., None], S, 0), axis=-1)
+    Sp1 = jnp.sum(jnp.where(d_idx == bp1[..., None], S, 0), axis=-1)
     denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
     frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
     interior = (best > 0) & (best < D - 1)

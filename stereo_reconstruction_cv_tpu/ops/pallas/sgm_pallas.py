@@ -60,7 +60,7 @@ def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2, accumu
         cul[...] = jnp.zeros_like(cul)
         cur[...] = jnp.zeros_like(cur)
 
-    c = c_ref[0]  # (W, D)
+    c = c_ref[0].astype(jnp.int32)  # (W, D); C may be stored int16
     lu = _sgm_update(cu[...], c, p1, p2)
     # UL: predecessor is (x-1, y-1) -> carry shifted so carry'[x] = cul[x-1].
     lul = _sgm_update(_shift_w(cul[...], -1), c, p1, p2)
@@ -92,7 +92,7 @@ def _horizontal_kernel(c_ref, s_in_ref, s_out_ref, carry, *, p1, p2, reverse):
     cur = carry[...]
     order = range(COLS - 1, -1, -1) if reverse else range(COLS)
     for k in order:
-        c = c_ref[:, k, :]  # (Ht, D)
+        c = c_ref[:, k, :].astype(jnp.int32)  # (Ht, D)
         cur = _sgm_update(cur, c, p1, p2)
         s_out_ref[:, k, :] = s_in_ref[:, k, :] + cur
     carry[...] = cur
@@ -122,8 +122,8 @@ def _sweep_vertical(C, S, p1, p2, reverse: bool, accumulate: bool, interpret: bo
         grid=(H,),
         in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(C.shape, C.dtype),
-        scratch_shapes=[pltpu.VMEM((W, D), C.dtype)] * 3,
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.int32),
+        scratch_shapes=[pltpu.VMEM((W, D), jnp.int32)] * 3,
         input_output_aliases={1: 0},
         interpret=interpret,
     )(C, S)
@@ -153,8 +153,8 @@ def _sweep_horizontal(C, S, p1, p2, reverse: bool, interpret: bool):
         grid=(nh, nb),
         in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(C.shape, C.dtype),
-        scratch_shapes=[pltpu.VMEM((Ht, D), C.dtype)],
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.int32),
+        scratch_shapes=[pltpu.VMEM((Ht, D), jnp.int32)],
         input_output_aliases={1: 0},
         interpret=interpret,
     )(C, S)
@@ -173,8 +173,9 @@ def sgm_aggregate_pallas(
     num_directions=5 matches cv2 MODE_SGBM ({L, R, UL, U, UR});
     8 matches MODE_HH. Bit-exact vs ops.disparity.sgm_aggregate."""
     assert num_directions in (5, 8)
-    C = C.astype(jnp.int32)
-    S = _sweep_vertical(C, jnp.zeros_like(C), p1, p2, reverse=False,
+    if C.dtype not in (jnp.int16, jnp.int32):
+        C = C.astype(jnp.int32)
+    S = _sweep_vertical(C, jnp.zeros(C.shape, jnp.int32), p1, p2, reverse=False,
                         accumulate=False, interpret=interpret)
     if num_directions == 8:
         S = _sweep_vertical(C, S, p1, p2, reverse=True, accumulate=True,
