@@ -78,12 +78,55 @@ def cmd_rectify(args):
 def cmd_match(args):
     from stereo_reconstruction_cv_tpu.pipeline import stages
 
-    out = stages.detect_match(args.pair, contrast_threshold=args.contrast_threshold)
+    out = stages.detect_match(
+        args.pair,
+        contrast_threshold=args.contrast_threshold,
+        method="learned" if args.learned else "classical",
+        model_checkpoint=args.model,
+    )
     print(f"keypoints: left={out['num_keypoints'][0]} right={out['num_keypoints'][1]}")
     print(f"good matches (ratio 0.75): {out['num_good_matches']}")
     if args.save:
         np.savez(args.save, **{k: v for k, v in out.items() if isinstance(v, np.ndarray)})
         print(f"saved matches to {args.save}")
+    return 0
+
+
+def cmd_train_features(args):
+    """Self-supervised XFeat-style training on a folder of images."""
+    import glob as globmod
+
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_cv_tpu.io.image import load_gray
+    from stereo_reconstruction_cv_tpu.models import checkpoint as CK
+    from stereo_reconstruction_cv_tpu.models import xfeat as XF
+
+    files = sorted(globmod.glob(os.path.join(args.folder, "*.jpg")))
+    if not files:
+        print(f"no *.jpg in {args.folder}", file=sys.stderr)
+        return 1
+    H, W = args.size, args.size
+    imgs = []
+    for f in files[: args.max_images]:
+        g = load_gray(f).astype(np.float32)
+        gh, gw = g.shape
+        if gh < H or gw < W:
+            continue
+        imgs.append(g[: H, : W])
+    data = jnp.asarray(np.stack(imgs))
+    model = XF.XFeatNet()
+    state, tx = XF.create_train_state(jax.random.PRNGKey(0), model, (H, W), lr=args.lr)
+    step = jax.jit(lambda s, i, k: XF.train_step(s, tx, model, i, k))
+    key = jax.random.PRNGKey(1)
+    for it in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, data, sub)
+        if it % 20 == 0:
+            print(f"step {it}: loss {float(loss):.4f}", flush=True)
+    CK.save_params(args.output, state.params)
+    print(f"saved checkpoint to {args.output}")
     return 0
 
 
@@ -174,7 +217,18 @@ def main(argv=None):
     m.add_argument("pair")
     m.add_argument("--contrast-threshold", type=float, default=0.04)
     m.add_argument("--save", default=None)
+    m.add_argument("--learned", action="store_true", help="XFeat-style matcher (Tab 7)")
+    m.add_argument("--model", default=None, help="orbax checkpoint for --learned")
     m.set_defaults(fn=cmd_match)
+
+    tf = sub.add_parser("train-features", help="self-supervised XFeat training")
+    tf.add_argument("folder")
+    tf.add_argument("--steps", type=int, default=200)
+    tf.add_argument("--size", type=int, default=256)
+    tf.add_argument("--lr", type=float, default=1e-3)
+    tf.add_argument("--max-images", type=int, default=16)
+    tf.add_argument("--output", default="xfeat_ckpt")
+    tf.set_defaults(fn=cmd_train_features)
 
     g = sub.add_parser("geometry", help="E/R/T estimation (Tab 4)")
     g.add_argument("pair")

@@ -388,14 +388,20 @@ def speckle_filter(
         l = jnp.minimum(l, jnp.where(cu, up, big))
         return l
 
-    def body(_, lab):
+    # Gathers (the pointer-jump composition) dominate runtime on TPU, so
+    # run several cheap local min-propagation steps per composition: reach
+    # grows ~(local_per_jump * 2^jumps), ample for <=max_size regions.
+    local_per_jump = 4
+    for i in range(num_iters):
         lab = prop(lab)
-        flat = lab.reshape(-1)
-        # Path compression: follow the label pointer one hop (doubling).
-        flat = jnp.where(flat < big, jnp.minimum(flat, flat[jnp.clip(flat, 0, H * W - 1)]), flat)
-        return flat.reshape(H, W)
-
-    lab = jax.lax.fori_loop(0, num_iters, body, lab)
+        if (i + 1) % local_per_jump == 0:
+            flat = lab.reshape(-1)
+            flat = jnp.where(
+                flat < big,
+                jnp.minimum(flat, flat[jnp.clip(flat, 0, H * W - 1)]),
+                flat,
+            )
+            lab = flat.reshape(H, W)
     sizes = jnp.zeros(H * W + 1, jnp.int32).at[lab.reshape(-1)].add(1)
     region = sizes[lab]
     keep = valid & (region > max_speckle_size)

@@ -30,14 +30,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG = 1 << 29
+# Kernels compute in float32: every SGM value stays below 2^24 (block cost
+# <= 22869, L <= cost+P2, S <= 8*(cost+P2) ~ 2.8e5), so f32 arithmetic is
+# EXACT while running ~1.5x faster than int32 on the VPU. The sentinel BIG
+# must also stay exactly representable after +P1: 1e7 < 2^24.
+BIG = 1.0e7
 
 
 def _sgm_update(prev: jnp.ndarray, cost: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
-    """One DP step on (..., D) int32 blocks (same math as ops.disparity)."""
+    """One DP step on (..., D) f32 blocks (same math as ops.disparity).
+
+    The d±1 neighbor shifts use lane rotates + iota masking: Mosaic lowers
+    these natively, whereas lane-axis concatenates hit layout-offset
+    restrictions (and cost a relayout)."""
+    D = prev.shape[-1]
     big = jnp.asarray(BIG, prev.dtype)
-    up = jnp.concatenate([prev[..., 1:], jnp.full_like(prev[..., :1], big)], axis=-1)
-    dn = jnp.concatenate([jnp.full_like(prev[..., :1], big), prev[..., :-1]], axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
+    up = jnp.where(lane == D - 1, big, pltpu.roll(prev, D - 1, prev.ndim - 1))
+    dn = jnp.where(lane == 0, big, pltpu.roll(prev, 1, prev.ndim - 1))
     min_prev = jnp.min(prev, axis=-1, keepdims=True)
     best = jnp.minimum(jnp.minimum(prev, min_prev + p2), jnp.minimum(up, dn) + p1)
     return cost + best - min_prev
@@ -50,8 +60,13 @@ def _shift_w(a: jnp.ndarray, shift: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros_like(a[shift:]), a[:shift]], axis=0)
 
 
-def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2, accumulate):
-    """One grid step = one row. Carries cu/cul/cur persist across rows."""
+ROWS = 2  # rows per vertical grid step (amortizes per-step overhead)
+
+
+def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2,
+                     accumulate, reverse):
+    """One grid step = ROWS rows (unrolled). Carries persist across steps;
+    rows advance in path order (top-down, or bottom-up when reverse)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -60,23 +75,26 @@ def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2, accumu
         cul[...] = jnp.zeros_like(cul)
         cur[...] = jnp.zeros_like(cur)
 
-    c = c_ref[0].astype(jnp.int32)  # (W, D); C may be stored int16
-    lu = _sgm_update(cu[...], c, p1, p2)
-    # UL: predecessor is (x-1, y-1) -> carry shifted so carry'[x] = cul[x-1].
-    lul = _sgm_update(_shift_w(cul[...], -1), c, p1, p2)
-    # UR: predecessor is (x+1, y-1).
-    lur = _sgm_update(_shift_w(cur[...], +1), c, p1, p2)
-    total = lu + lul + lur
-    if accumulate:
-        s_out_ref[0] = s_in_ref[0] + total
-    else:
-        s_out_ref[0] = total
-    cu[...] = lu
-    cul[...] = lul
-    cur[...] = lur
+    vu, vul, vur = cu[...], cul[...], cur[...]
+    order = range(ROWS - 1, -1, -1) if reverse else range(ROWS)
+    for k in order:
+        c = c_ref[k].astype(jnp.float32)  # (W, D); C stored int16/int32
+        vu = _sgm_update(vu, c, p1, p2)
+        # UL: predecessor is (x-1, y-1) -> carry'[x] = carry[x-1].
+        vul = _sgm_update(_shift_w(vul, -1), c, p1, p2)
+        # UR: predecessor is (x+1, y-1).
+        vur = _sgm_update(_shift_w(vur, +1), c, p1, p2)
+        total = vu + vul + vur
+        if accumulate:
+            s_out_ref[k] = s_in_ref[k] + total
+        else:
+            s_out_ref[k] = total
+    cu[...] = vu
+    cul[...] = vul
+    cur[...] = vur
 
 
-COLS = 8  # columns per horizontal grid step (TPU sublane granularity)
+COLS = 16 # columns per horizontal grid step (TPU sublane granularity)
 
 
 def _horizontal_kernel(c_ref, s_in_ref, s_out_ref, carry, *, p1, p2, reverse):
@@ -92,7 +110,7 @@ def _horizontal_kernel(c_ref, s_in_ref, s_out_ref, carry, *, p1, p2, reverse):
     cur = carry[...]
     order = range(COLS - 1, -1, -1) if reverse else range(COLS)
     for k in order:
-        c = c_ref[:, k, :].astype(jnp.int32)  # (Ht, D)
+        c = c_ref[:, k, :].astype(jnp.float32)  # (Ht, D)
         cur = _sgm_update(cur, c, p1, p2)
         s_out_ref[:, k, :] = s_in_ref[:, k, :] + cur
     carry[...] = cur
@@ -109,24 +127,33 @@ def _row_tile(H: int, max_tile: int = 256) -> int:
 
 def _sweep_vertical(C, S, p1, p2, reverse: bool, accumulate: bool, interpret: bool):
     H, W, D = C.shape
+    # Pad H to a ROWS multiple with zero-cost rows (zero cost keeps the
+    # carry at zero, so the pad is an exact no-op for path starts). For the
+    # reverse sweep the pad is scanned first, which is equally benign.
+    Hp = -(-H // ROWS) * ROWS
+    if Hp != H:
+        C = jnp.pad(C, ((0, Hp - H), (0, 0), (0, 0)))
+        S = jnp.pad(S, ((0, Hp - H), (0, 0), (0, 0)))
+    nh = Hp // ROWS
     if reverse:
-        index_map = lambda i: (H - 1 - i, 0, 0)
+        index_map = lambda i: (nh - 1 - i, 0, 0)
     else:
         index_map = lambda i: (i, 0, 0)
-    spec = pl.BlockSpec((1, W, D), index_map, memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((ROWS, W, D), index_map, memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _vertical_kernel, p1=p1, p2=p2, accumulate=accumulate
+        _vertical_kernel, p1=p1, p2=p2, accumulate=accumulate, reverse=reverse
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(H,),
+        grid=(nh,),
         in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.int32),
-        scratch_shapes=[pltpu.VMEM((W, D), jnp.int32)] * 3,
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((W, D), jnp.float32)] * 3,
         input_output_aliases={1: 0},
         interpret=interpret,
     )(C, S)
+    return out[:H] if Hp != H else out
 
 
 def _sweep_horizontal(C, S, p1, p2, reverse: bool, interpret: bool):
@@ -153,8 +180,8 @@ def _sweep_horizontal(C, S, p1, p2, reverse: bool, interpret: bool):
         grid=(nh, nb),
         in_specs=[spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.int32),
-        scratch_shapes=[pltpu.VMEM((Ht, D), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32)],
         input_output_aliases={1: 0},
         interpret=interpret,
     )(C, S)
@@ -175,11 +202,14 @@ def sgm_aggregate_pallas(
     assert num_directions in (5, 8)
     if C.dtype not in (jnp.int16, jnp.int32):
         C = C.astype(jnp.int32)
-    S = _sweep_vertical(C, jnp.zeros(C.shape, jnp.int32), p1, p2, reverse=False,
+    p1 = float(p1)
+    p2 = float(p2)
+    S = _sweep_vertical(C, jnp.zeros(C.shape, jnp.float32), p1, p2, reverse=False,
                         accumulate=False, interpret=interpret)
     if num_directions == 8:
         S = _sweep_vertical(C, S, p1, p2, reverse=True, accumulate=True,
                             interpret=interpret)
     S = _sweep_horizontal(C, S, p1, p2, reverse=False, interpret=interpret)
     S = _sweep_horizontal(C, S, p1, p2, reverse=True, interpret=interpret)
-    return S
+    # All values are integers below 2^24 — the cast back is exact.
+    return S.astype(jnp.int32)

@@ -124,12 +124,22 @@ def detect_match(
     contrast_threshold: float = 0.04,
     ratio: float = 0.75,
     max_keypoints: int = 2048,
+    method: str = "classical",
+    model_checkpoint: str | None = None,
 ) -> Dict:
     """feat_detect_match parity (gui.py:211-261): keypoints, descriptors,
-    kNN matches + Lowe ratio (0.75 on this inspection path, gui.py:241)."""
+    kNN matches + Lowe ratio (0.75 on this inspection path, gui.py:241).
+
+    method='learned' uses the XFeat-style network (the reference's Tab 7,
+    README.md:109-110 [branch]); pass an orbax checkpoint from
+    `cli train-features` for trained weights."""
     imL, imR = _load_pair(folder_or_pair)
-    fl = FT.detect_and_describe(jnp.asarray(imL), max_keypoints, contrast_threshold)
-    fr = FT.detect_and_describe(jnp.asarray(imR), max_keypoints, contrast_threshold)
+    if method == "learned":
+        fl = _learned_features(imL, max_keypoints, model_checkpoint)
+        fr = _learned_features(imR, max_keypoints, model_checkpoint)
+    else:
+        fl = FT.detect_and_describe(jnp.asarray(imL), max_keypoints, contrast_threshold)
+        fr = FT.detect_and_describe(jnp.asarray(imR), max_keypoints, contrast_threshold)
     mres = M.knn2_match(
         fl.descriptors.astype(jnp.float32),
         fr.descriptors.astype(jnp.float32),
@@ -151,6 +161,34 @@ def _load_pair(folder_or_pair):
     if isinstance(folder_or_pair, str):
         return IO.load_stereo_pair(folder_or_pair)
     return folder_or_pair
+
+
+_XFEAT_CACHE = {}
+
+
+def _learned_features(img, max_keypoints: int, checkpoint: str | None):
+    """XFeat-style detection; weights from a checkpoint or fresh init.
+    H, W are cropped to multiples of the 8-px cell."""
+    from stereo_reconstruction_cv_tpu.models import xfeat as XF
+
+    key = ("model", checkpoint)
+    if key not in _XFEAT_CACHE:
+        model = XF.XFeatNet()
+        if checkpoint:
+            from stereo_reconstruction_cv_tpu.models import checkpoint as CK
+
+            H0, W0 = img.shape[0] // 8 * 8, img.shape[1] // 8 * 8
+            state, _ = XF.create_train_state(jax.random.PRNGKey(0), model, (H0, W0))
+            params = CK.load_params(checkpoint, like=state.params)
+        else:
+            state, _ = XF.create_train_state(
+                jax.random.PRNGKey(0), model, (img.shape[0] // 8 * 8, img.shape[1] // 8 * 8)
+            )
+            params = state.params
+        _XFEAT_CACHE[key] = (model, params)
+    model, params = _XFEAT_CACHE[key]
+    H0, W0 = img.shape[0] // 8 * 8, img.shape[1] // 8 * 8
+    return XF.detect(params, model, jnp.asarray(img[:H0, :W0]), max_keypoints)
 
 
 def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig):
