@@ -77,3 +77,25 @@ class TestShardedSGM:
             lambda a, b: sharded_sgbm_disparity(mesh, a, b, cfg, halo=32)
         )(lj, rj)
         assert np.asarray(valid).any()
+
+
+class TestStreaming:
+    def test_stream_reconstruct_emits_clouds(self, tmp_path, cfg):
+        from stereo_reconstruction_cv_tpu.parallel.streaming import stream_reconstruct
+
+        pairs = [
+            ("/root/reference/dataset/d2/img1.jpg", "/root/reference/dataset/d2/img2.jpg")
+        ] * 3
+        Q = np.array(
+            [[1, 0, 0, -960.0], [0, 1, 0, -540.0], [0, 0, 0, 1000.0], [0, 0, 1 / 0.14, 0]]
+        )
+        small_cfg = cfg.with_(num_disparities=16)
+        # CPU test: tiny crops via a wrapper loader is overkill; run 1080p
+        # batch of 3 with 16 disparities on the 8-device mesh.
+        mesh = M.make_mesh(n_data=1, n_space=4)
+        out = stream_reconstruct(pairs, Q, small_cfg, str(tmp_path), batch_size=1, mesh=mesh)
+        assert len(out) == 3
+        from stereo_reconstruction_cv_tpu.io.ply import read_ply
+
+        pts, _ = read_ply(out[0])
+        assert len(pts) > 1000
