@@ -61,11 +61,15 @@ def calibrate(
     folder: str,
     chessboard: Tuple[int, int] = (9, 7),
     cache=None,
+    save_corner_annotations: bool = False,
+    annotation_dir: str = "chessboard_corners",
 ) -> Dict:
     """cam_calib parity: glob *.jpg, find chessboards, calibrate.
 
     Returns dict with K, dist, per-image detections, reprojection errors,
-    and the reference's result-tuple format under 'results'."""
+    and the reference's result-tuple format under 'results'.
+    save_corner_annotations mirrors the reference flag (gui.py:41, notebook
+    True): writes corner-overlay JPGs into annotation_dir."""
     files = IO.glob_calibration_images(folder)
     if not files:
         return {"error": f"no *.jpg calibration images in {folder!r}"}
@@ -83,6 +87,16 @@ def calibrate(
         if found:
             pts.append(np.asarray(corners))
             used.append(f)
+            if save_corner_annotations:
+                import os
+
+                from stereo_reconstruction_cv_tpu.utils import draw as DR
+
+                os.makedirs(annotation_dir, exist_ok=True)
+                vis = DR.draw_keypoints(gray, np.asarray(corners))
+                IO.save_image(
+                    os.path.join(annotation_dir, os.path.basename(f)), vis
+                )
     if len(pts) < 3:
         return {"error": f"chessboard found in only {len(pts)} images"}
     obj = np.asarray(Z.build_object_points(cols, rows))
@@ -126,6 +140,7 @@ def detect_match(
     max_keypoints: int = 2048,
     method: str = "classical",
     model_checkpoint: str | None = None,
+    with_visualizations: bool = False,
 ) -> Dict:
     """feat_detect_match parity (gui.py:211-261): keypoints, descriptors,
     kNN matches + Lowe ratio (0.75 on this inspection path, gui.py:241).
@@ -145,7 +160,7 @@ def detect_match(
         fr.descriptors.astype(jnp.float32),
         fl.mask, fr.mask, ratio=ratio,
     )
-    return {
+    out = {
         "keypoints1": np.asarray(fl.keypoints),
         "keypoints2": np.asarray(fr.keypoints),
         "descriptors1": np.asarray(fl.descriptors),
@@ -155,6 +170,28 @@ def detect_match(
         "match_mask": np.asarray(mres.mask),
         "num_good_matches": int(mres.mask.sum()),
     }
+    if with_visualizations:
+        # The reference tab renders 4 images: keypoints L/R, all matches,
+        # good matches (gui.py:244-248), resized for display (:251-254).
+        from stereo_reconstruction_cv_tpu.utils import draw as DR
+
+        kl = out["keypoints1"][np.asarray(fl.mask)]
+        kr = out["keypoints2"][np.asarray(fr.mask)]
+        good = [
+            (i, int(out["match_indices"][i]))
+            for i in np.nonzero(out["match_mask"])[0]
+        ]
+        all_m = [(i, int(out["match_indices"][i])) for i in range(len(out["match_indices"]))
+                 if bool(fl.mask[i])]
+        out["Left Keypoints"] = DR.resize_nearest(DR.draw_keypoints(imL, kl[:500]), (640, 360))
+        out["Right Keypoints"] = DR.resize_nearest(DR.draw_keypoints(imR, kr[:500]), (640, 360))
+        out["All Matches"] = DR.resize_nearest(
+            DR.draw_matches(imL, out["keypoints1"], imR, out["keypoints2"], all_m), (1280, 360)
+        )
+        out["Good Matches"] = DR.resize_nearest(
+            DR.draw_matches(imL, out["keypoints1"], imR, out["keypoints2"], good), (1280, 360)
+        )
+    return out
 
 
 def _load_pair(folder_or_pair):
@@ -191,16 +228,67 @@ def _learned_features(img, max_keypoints: int, checkpoint: str | None):
     return XF.detect(params, model, jnp.asarray(img[:H0, :W0]), max_keypoints)
 
 
-def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig):
-    fl = FT.detect_and_describe(jnp.asarray(imL), cfg.max_keypoints, cfg.contrast_threshold)
-    fr = FT.detect_and_describe(jnp.asarray(imR), cfg.max_keypoints, cfg.contrast_threshold)
-    mres = M.knn2_match(
-        fl.descriptors.astype(jnp.float32),
-        fr.descriptors.astype(jnp.float32),
-        fl.mask, fr.mask, ratio=cfg.ratio_geometry, mutual=True,
+import contextlib
+
+
+def _host_cpu_device():
+    # Small irregular solves (robust geometry, eigen/SVD stages) run on the
+    # host CPU backend when one is registered: the data is tiny, and CPU
+    # LAPACK is far more accurate than TPU's f32 iterative eigh. Dense
+    # kernels stay on the accelerator.
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+@contextlib.contextmanager
+def _on_host_cpu():
+    dev = _host_cpu_device()
+    if dev is None:
+        yield
+        return
+    with jax.default_device(dev):
+        yield
+
+
+def _downscale(img: np.ndarray, factor: int) -> np.ndarray:
+    """Box-average downscale by an integer factor."""
+    H, W = img.shape
+    img = img[: H - H % factor, : W - W % factor]
+    return (
+        img.reshape(H // factor, factor, W // factor, factor)
+        .astype(np.float32)
+        .mean((1, 3))
+        .astype(np.uint8)
     )
+
+
+def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig, max_dim: int = 2048):
+    """Detect+match for the geometry path. Large frames are detected at a
+    reduced scale (keypoint coords scaled back) — detection response and
+    descriptors are scale-normalized, and sub-pixel precision at 2K is
+    ample for robust F/E estimation.
+
+    Runs under full f32 matmul/conv precision: TPU's default bf16 matmul
+    precision degrades descriptor distances and the robust solvers'
+    normal-equation products enough to corrupt the pose."""
+    imL = np.asarray(imL)
+    imR = np.asarray(imR)
+    factor = max(1, int(np.ceil(max(imL.shape) / max_dim)))
+    dL = _downscale(imL, factor) if factor > 1 else imL
+    dR = _downscale(imR, factor) if factor > 1 else imR
+    with _on_host_cpu(), jax.default_matmul_precision("highest"):
+        fl = FT.detect_and_describe(jnp.asarray(dL), cfg.max_keypoints, cfg.contrast_threshold)
+        fr = FT.detect_and_describe(jnp.asarray(dR), cfg.max_keypoints, cfg.contrast_threshold)
+        mres = M.knn2_match(
+            fl.descriptors.astype(jnp.float32),
+            fr.descriptors.astype(jnp.float32),
+            fl.mask, fr.mask, ratio=cfg.ratio_geometry, mutual=True,
+        )
     p1, p2, mask = M.gather_correspondences(fl.keypoints, fr.keypoints, mres)
-    return p1.astype(jnp.float64), p2.astype(jnp.float64), mask
+    s = float(factor)
+    return p1.astype(jnp.float64) * s, p2.astype(jnp.float64) * s, mask, factor
 
 
 # ---------------------------------------------------------------------------
@@ -221,23 +309,26 @@ def estimate_geometry(
     "Translation Vector"} plus F, inlier masks and diagnostics."""
     imL, imR = _load_pair(folder_or_pair)
     K = np.asarray(camera_matrix) if camera_matrix is not None else default_camera_matrix()
-    p1, p2, mask = _match_for_geometry(imL, imR, pipeline_cfg.match)
+    p1, p2, mask, det_factor = _match_for_geometry(imL, imR, pipeline_cfg.match)
     keys = jax.random.split(jax.random.PRNGKey(seed), 2)
-    fres = RB.find_fundamental(
-        keys[0], p1, p2, mask=mask,
-        method=pipeline_cfg.robust.f_method,
-        num_hypotheses=pipeline_cfg.robust.num_hypotheses,
-    )
-    eres = RB.find_essential(
-        keys[1], p1, p2, jnp.asarray(K), mask=fres.inlier_mask,
-        threshold_px=pipeline_cfg.robust.e_threshold_px,
-        num_hypotheses=2 * pipeline_cfg.robust.num_hypotheses,
-    )
-    n1 = EP.pixel_to_normalized(p1, jnp.asarray(K))
-    n2 = EP.pixel_to_normalized(p2, jnp.asarray(K))
-    R, T, pose_mask, votes = EP.recover_pose(
-        eres.model, n1, n2, weights=eres.inlier_mask.astype(n1.dtype)
-    )
+    with _on_host_cpu(), jax.default_matmul_precision("highest"):
+        fres = RB.find_fundamental(
+            keys[0], p1, p2, mask=mask,
+            method=pipeline_cfg.robust.f_method,
+            num_hypotheses=pipeline_cfg.robust.num_hypotheses,
+        )
+        # Keypoint noise scales with the detection downscale factor; the
+        # RANSAC threshold must too or inliers get starved on 4K frames.
+        eres = RB.find_essential(
+            keys[1], p1, p2, jnp.asarray(K), mask=fres.inlier_mask,
+            threshold_px=pipeline_cfg.robust.e_threshold_px * det_factor,
+            num_hypotheses=2 * pipeline_cfg.robust.num_hypotheses,
+        )
+        n1 = EP.pixel_to_normalized(p1, jnp.asarray(K))
+        n2 = EP.pixel_to_normalized(p2, jnp.asarray(K))
+        R, T, pose_mask, votes = EP.recover_pose(
+            eres.model, n1, n2, weights=eres.inlier_mask.astype(n1.dtype)
+        )
     return {
         "Essential Matrix": np.asarray(eres.model),
         "Rotation Matrix": np.asarray(R),
@@ -261,6 +352,7 @@ def rectify_pair(
     folder_or_pair,
     baseline: float = 0.1,
     camera_matrix: Optional[np.ndarray] = None,
+    dist: Optional[np.ndarray] = None,
     alpha: float = 1.0,
     seed: int = 0,
     with_visualizations: bool = True,
@@ -268,21 +360,26 @@ def rectify_pair(
 ) -> Dict:
     """stereo_rect parity (gui.py:92-209): estimate geometry, rectify with
     alpha=1.0, fused remap both images, re-verify epipolar geometry on the
-    rectified pair; optional before/after epiline visualizations."""
+    rectified pair; optional before/after epiline visualizations.
+
+    `dist` (5-coeff) enables undistortion in the fused remap — the
+    reference passes dist=None even when calibration produced one (cell 3
+    wrapper), which we support but don't force."""
     imL, imR = _load_pair(folder_or_pair)
     K = np.asarray(camera_matrix) if camera_matrix is not None else default_camera_matrix()
+    dj = None if dist is None else jnp.asarray(dist)
     geo = estimate_geometry((imL, imR), baseline, K, seed, pipeline_cfg)
     R = jnp.asarray(geo["Rotation Matrix"])
     T = jnp.asarray(geo["Translation Vector"]).reshape(3) * baseline
     H, W = imL.shape
     rr = RC.stereo_rectify(
-        jnp.asarray(K), None, jnp.asarray(K), None, (W, H), R, T, alpha=alpha
+        jnp.asarray(K), dj, jnp.asarray(K), dj, (W, H), R, T, alpha=alpha
     )
     left_rect = np.asarray(
-        RC.rectify_remap(jnp.asarray(imL), jnp.asarray(K), None, rr.R1, rr.P1)
+        RC.rectify_remap(jnp.asarray(imL), jnp.asarray(K), dj, rr.R1, rr.P1)
     )
     right_rect = np.asarray(
-        RC.rectify_remap(jnp.asarray(imR), jnp.asarray(K), None, rr.R2, rr.P2)
+        RC.rectify_remap(jnp.asarray(imR), jnp.asarray(K), dj, rr.R2, rr.P2)
     )
     out = {
         "left_rectified": left_rect,
@@ -294,7 +391,7 @@ def rectify_pair(
     }
     # Verification pass: re-match on the rectified pair, recompute F, check
     # the epilines are horizontal (the reference's visual check, gui.py:167-195).
-    p1r, p2r, maskr = _match_for_geometry(left_rect, right_rect, pipeline_cfg.match)
+    p1r, p2r, maskr, _ = _match_for_geometry(left_rect, right_rect, pipeline_cfg.match)
     fres = RB.find_fundamental(jax.random.PRNGKey(seed + 1), p1r, p2r, mask=maskr)
     lines = G.compute_epilines(p1r, fres.model, 1)
     slopes = np.abs(np.asarray(lines[:, 0] / (jnp.abs(lines[:, 1]) + 1e-9)))
