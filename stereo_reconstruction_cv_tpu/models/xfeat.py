@@ -143,8 +143,12 @@ def detect(
 def random_homography(key, H: int, W: int, max_shift: float = 0.15):
     """Random perspective warp mapping image A coords -> image B coords."""
     k1, k2 = jax.random.split(key)
-    corners = jnp.array([[0.0, 0.0], [W, 0.0], [0.0, H], [W, H]])
-    shift = jax.random.uniform(k1, (4, 2), minval=-max_shift, maxval=max_shift)
+    # Explicit f32: under jax_enable_x64 the defaults promote to f64, and
+    # TPU lacks f64 SVD/LU.
+    corners = jnp.array([[0.0, 0.0], [W, 0.0], [0.0, H], [W, H]], jnp.float32)
+    shift = jax.random.uniform(
+        k1, (4, 2), minval=-max_shift, maxval=max_shift, dtype=jnp.float32
+    )
     target = corners + shift * jnp.array([W, H])
     # DLT for the 4-point homography (in f32; conditioning fine at image scale)
     def row(c, t):
@@ -166,7 +170,7 @@ def random_homography(key, H: int, W: int, max_shift: float = 0.15):
 def warp_image(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
     """Inverse-warp (H, W) image by homography (bilinear, zero border)."""
     H, W = img.shape
-    Hinv = jnp.linalg.inv(Hm)
+    Hinv = jnp.linalg.inv(Hm.astype(jnp.float32))
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     den = Hinv[2, 0] * xx + Hinv[2, 1] * yy + Hinv[2, 2]

@@ -129,8 +129,11 @@ def block_sum(vol: jnp.ndarray, block_size: int) -> jnp.ndarray:
     """SAD aggregation: (H, W, D) -> same shape, each entry the sum over a
     block_size x block_size spatial window (edge-replicated, OpenCV clamps
     the window to the image which is equivalent for interior-dominant use).
-    Separable two-pass running sum — O(1) per pixel, bandwidth bound.
-    Integer inputs accumulate in int32 (running sums overflow int16) and
+    Separable two-pass running sum. (A direct 11-tap sum is ~30% faster in
+    isolation, but it steers XLA into a layout that materializes the
+    per-disparity cost slices with 128x tile padding and OOMs the full
+    pipeline — a fused Pallas cost kernel is the real fix, future work.)
+    Integer inputs accumulate in int32 (window sums overflow int16) and
     are stored back at the input width."""
     r = block_size // 2
     dtype_in = vol.dtype

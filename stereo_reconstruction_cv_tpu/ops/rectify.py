@@ -227,7 +227,8 @@ def rectify_map(
     v = jax.lax.broadcasted_iota(dtype, (H, W), 0)
     x = (u - P[0, 2].astype(dtype)) / P[0, 0].astype(dtype)
     y = (v - P[1, 2].astype(dtype)) / P[1, 1].astype(dtype)
-    Rinv = jnp.linalg.inv(R).astype(dtype)
+    # Invert in the compute dtype: TPU has no f64 LU decomposition.
+    Rinv = jnp.linalg.inv(R.astype(dtype))
     X = Rinv[0, 0] * x + Rinv[0, 1] * y + Rinv[0, 2]
     Y = Rinv[1, 0] * x + Rinv[1, 1] * y + Rinv[1, 2]
     Wc = Rinv[2, 0] * x + Rinv[2, 1] * y + Rinv[2, 2]

@@ -372,9 +372,10 @@ def rectify_pair(
     R = jnp.asarray(geo["Rotation Matrix"])
     T = jnp.asarray(geo["Translation Vector"]).reshape(3) * baseline
     H, W = imL.shape
-    rr = RC.stereo_rectify(
-        jnp.asarray(K), dj, jnp.asarray(K), dj, (W, H), R, T, alpha=alpha
-    )
+    with _on_host_cpu():  # tiny closed-form math; f64-capable on host
+        rr = RC.stereo_rectify(
+            jnp.asarray(K), dj, jnp.asarray(K), dj, (W, H), R, T, alpha=alpha
+        )
     left_rect = np.asarray(
         RC.rectify_remap(jnp.asarray(imL), jnp.asarray(K), dj, rr.R1, rr.P1)
     )
