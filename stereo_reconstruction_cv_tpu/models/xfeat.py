@@ -149,22 +149,28 @@ def random_homography(key, H: int, W: int, max_shift: float = 0.15):
     shift = jax.random.uniform(
         k1, (4, 2), minval=-max_shift, maxval=max_shift, dtype=jnp.float32
     )
-    target = corners + shift * jnp.array([W, H])
-    # DLT for the 4-point homography (in f32; conditioning fine at image scale)
+    target = corners + shift * jnp.array([W, H], jnp.float32)
+
+    # 4-point homography with h33 = 1: an 8x8 linear solve (TPU-friendly;
+    # in-jit rectangular SVD aborts the TPU compiler).
     def row(c, t):
         x, y = c
         u, v = t
-        return jnp.array(
-            [
-                [x, y, 1, 0, 0, 0, -u * x, -u * y, -u],
-                [0, 0, 0, x, y, 1, -v * x, -v * y, -v],
-            ]
+        return (
+            jnp.array([x, y, 1, 0, 0, 0, -u * x, -u * y], jnp.float32),
+            jnp.array([0, 0, 0, x, y, 1, -v * x, -v * y], jnp.float32),
         )
 
-    A = jnp.concatenate([row(corners[i], target[i]) for i in range(4)], axis=0)
-    _, _, vt = jnp.linalg.svd(A)
-    Hm = vt[-1].reshape(3, 3)
-    return Hm / Hm[2, 2]
+    rows = []
+    rhs = []
+    for i in range(4):
+        r1, r2 = row(corners[i], target[i])
+        rows += [r1, r2]
+        rhs += [target[i, 0], target[i, 1]]
+    A = jnp.stack(rows)
+    b = jnp.stack(rhs)
+    h = jnp.linalg.solve(A, b)
+    return jnp.concatenate([h, jnp.ones(1, jnp.float32)]).reshape(3, 3)
 
 
 def warp_image(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
