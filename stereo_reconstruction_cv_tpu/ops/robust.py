@@ -65,6 +65,7 @@ def robust_fit(
     num_hypotheses: int = 512,
     sample_size: int = 8,
     threshold: float = 1.0,
+    lo_iters: int = 2,
 ) -> RobustResult:
     """Generic fixed-budget robust model fit.
 
@@ -105,13 +106,36 @@ def robust_fit(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    # Final least-squares refit on the inlier set (weighted, static shape).
-    w = best_inliers.astype(pts1.dtype)
-    refit_model = refit(pts1, pts2, w)
-    # Guard: if the refit degenerates (too few inliers), keep the minimal model.
-    enough = jnp.sum(best_inliers) >= sample_size
-    model = jnp.where(enough, refit_model, models[best])
-    return RobustResult(model, best_inliers, jnp.sum(best_inliers), best_score)
+    # Local optimization: refit on inliers, re-threshold, repeat (LO-RANSAC
+    # style, fixed iteration count for jit). The threshold for re-selection
+    # comes from the method's own inlier rule.
+    if method == "ransac":
+        sel_thr2 = thr2
+    else:
+        n_valid = jnp.sum(mask)
+        med_best = -best_score
+        sigma = (
+            2.5 * 1.4826 * (1.0 + 5.0 / jnp.maximum(n_valid - sample_size, 1))
+            * jnp.sqrt(jnp.maximum(med_best, 0.0))
+        )
+        sel_thr2 = jnp.maximum(sigma, 1e-12) ** 2
+
+    inliers = best_inliers
+    model = models[best]
+    for _ in range(1 + lo_iters):
+        w = inliers.astype(pts1.dtype)
+        refit_model = refit(pts1, pts2, w)
+        # Keep the refit only if it doesn't lose inliers (guards degeneracy).
+        res_new = jnp.nan_to_num(
+            residual_fn(refit_model, pts1, pts2), nan=jnp.inf, posinf=jnp.inf
+        )
+        inl_new = (res_new < sel_thr2) & mask
+        better = (jnp.sum(inl_new) >= jnp.sum(inliers)) & (
+            jnp.sum(inliers) >= sample_size
+        )
+        model = jnp.where(better, refit_model, model)
+        inliers = jnp.where(better, inl_new, inliers)
+    return RobustResult(model, inliers, jnp.sum(inliers), best_score)
 
 
 # ---------------------------------------------------------------------------
