@@ -46,8 +46,12 @@ def _sgm_update(prev: jnp.ndarray, cost: jnp.ndarray, p1: int, p2: int) -> jnp.n
     D = prev.shape[-1]
     big = jnp.asarray(BIG, prev.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
-    up = jnp.where(lane == D - 1, big, pltpu.roll(prev, D - 1, prev.ndim - 1))
-    dn = jnp.where(lane == 0, big, pltpu.roll(prev, 1, prev.ndim - 1))
+    # int32 shifts: under jax_enable_x64 a Python int lowers to an i64
+    # constant, which tpu.dynamic_rotate rejects.
+    up = jnp.where(
+        lane == D - 1, big, pltpu.roll(prev, jnp.int32(D - 1), prev.ndim - 1)
+    )
+    dn = jnp.where(lane == 0, big, pltpu.roll(prev, jnp.int32(1), prev.ndim - 1))
     min_prev = jnp.min(prev, axis=-1, keepdims=True)
     best = jnp.minimum(jnp.minimum(prev, min_prev + p2), jnp.minimum(up, dn) + p1)
     return cost + best - min_prev

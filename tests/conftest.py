@@ -23,6 +23,9 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same deterministic stream
+    # regardless of suite order (a session-scoped generator made tests
+    # order-dependent).
     return np.random.default_rng(0)
