@@ -197,14 +197,11 @@ def cmd_bench(args):
 
 
 def main(argv=None):
-    # Geometry/calibration solves route to the host CPU backend (see
-    # pipeline.stages._on_host_cpu); enable x64 so they run in f64 there.
-    # Dense accelerator kernels declare explicit f32/int dtypes throughout,
-    # so the global flag does not change the TPU path.
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-
+    # NOTE: x64 is deliberately NOT enabled here. Geometry/calibration
+    # solves route to the host CPU backend (pipeline.stages._on_host_cpu)
+    # where f32 LAPACK is already accurate (verified against the d3
+    # anchors), and jax_enable_x64 breaks Mosaic lowering of the Pallas
+    # kernels (i64/f64 leaks fail 'func.return' legalization).
     p = argparse.ArgumentParser(prog="stereo-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -46,12 +46,15 @@ def _sgm_update(prev: jnp.ndarray, cost: jnp.ndarray, p1: int, p2: int) -> jnp.n
     D = prev.shape[-1]
     big = jnp.asarray(BIG, prev.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
-    # int32 shifts: under jax_enable_x64 a Python int lowers to an i64
-    # constant, which tpu.dynamic_rotate rejects.
+    # Static np.int32 shifts: a Python int lowers as i64 under
+    # jax_enable_x64 and a traced jnp.int32 breaks Mosaic legalization —
+    # a numpy scalar stays a static 32-bit constant in both modes.
+    import numpy as _np
+
     up = jnp.where(
-        lane == D - 1, big, pltpu.roll(prev, jnp.int32(D - 1), prev.ndim - 1)
+        lane == D - 1, big, pltpu.roll(prev, _np.int32(D - 1), prev.ndim - 1)
     )
-    dn = jnp.where(lane == 0, big, pltpu.roll(prev, jnp.int32(1), prev.ndim - 1))
+    dn = jnp.where(lane == 0, big, pltpu.roll(prev, _np.int32(1), prev.ndim - 1))
     min_prev = jnp.min(prev, axis=-1, keepdims=True)
     best = jnp.minimum(jnp.minimum(prev, min_prev + p2), jnp.minimum(up, dn) + p1)
     return cost + best - min_prev
@@ -208,11 +211,30 @@ def sgm_aggregate_pallas(
         C = C.astype(jnp.int32)
     p1 = float(p1)
     p2 = float(p2)
-    S = _sweep_vertical(C, jnp.zeros(C.shape, jnp.float32), p1, p2, reverse=False,
-                        accumulate=False, interpret=interpret)
-    if num_directions == 8:
-        S = _sweep_vertical(C, S, p1, p2, reverse=True, accumulate=True,
-                            interpret=interpret)
+    H, W, D = C.shape
+    # The vertical sweep holds full-width blocks + 3 (W, D) carries in
+    # VMEM; above ~2 MPix-row widths (e.g. 4K x 256) that exceeds the 16MB
+    # scoped budget, so those directions fall back to the exact XLA scans
+    # (row-tiled callers — sgbm_disparity_tiled / the 'space' sharding —
+    # keep H small, but W stays full).
+    vert_vmem = W * D * 4 * 9  # 2x(Cin) + 4x(S in/out) ~= 4B each + 3 carries
+    if vert_vmem < 13_000_000 or interpret:
+        S = _sweep_vertical(C, jnp.zeros(C.shape, jnp.float32), p1, p2,
+                            reverse=False, accumulate=False, interpret=interpret)
+        if num_directions == 8:
+            S = _sweep_vertical(C, S, p1, p2, reverse=True, accumulate=True,
+                                interpret=interpret)
+    else:
+        from stereo_reconstruction_cv_tpu.ops import disparity as _dp
+
+        dirs = [(1, 1), (0, 1), (-1, 1)]
+        if num_directions == 8:
+            dirs += [(-1, -1), (0, -1), (1, -1)]
+        C32 = C.astype(jnp.int32)
+        S = jnp.zeros(C.shape, jnp.int32)
+        for dx, dy in dirs:
+            S = S + _dp._scan_dir(C32, dx, dy, int(p1), int(p2), None, 32)
+        S = S.astype(jnp.float32)
     S = _sweep_horizontal(C, S, p1, p2, reverse=False, interpret=interpret)
     S = _sweep_horizontal(C, S, p1, p2, reverse=True, interpret=interpret)
     # All values are integers below 2^24 — the cast back is exact.
