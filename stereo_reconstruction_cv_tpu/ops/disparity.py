@@ -512,7 +512,12 @@ def compute_disparity_map(
     if imgL.ndim == 3:  # reference feeds BGR; SGBM cost uses the gray plane
         imgL = rgb_to_gray_u8(imgL)
         imgR = rgb_to_gray_u8(imgR)
-    disp, valid = sgbm_disparity(imgL, imgR, cfg)
+    # Large frames (4K x 128+) exceed HBM as one volume — row-tile them.
+    H, W = imgL.shape
+    if H * W * ndisp > 4 * 10**8:
+        disp, valid = sgbm_disparity_tiled(imgL, imgR, cfg, tile_rows=512)
+    else:
+        disp, valid = sgbm_disparity(imgL, imgR, cfg)
     disp = jnp.where(valid, disp, float(mindis) - 1.0)
     return jnp.where(disp > 0, disp, 0.0)
 
