@@ -20,7 +20,11 @@ Documented behavior quirks of the reference preserved or fixed (SURVEY §7
 "quirks"): the user-supplied baseline seeds T but recoverPose returns a
 unit-norm T (gui.py:108 vs :145) — we expose both `baseline` (metric) and
 the unit T, and scale Q by the metric baseline when provided, which is the
-consciously-fixed behavior.
+consciously-fixed behavior. Preserved as-is: the reference builds Q from a
+POSITIVE-x translation (cell 5: T=[baseline,0,0]; recoverPose also yields
+T_x>0 on d3), which makes reprojected Z negative (a mirrored but metrically
+correct cloud) — we reproduce this so Q/cloud outputs match the reference;
+negate T for the canonical-orientation cloud.
 """
 
 from __future__ import annotations
