@@ -27,8 +27,12 @@ def load_params(path: str, like: Any | None = None) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
+        # Concrete sharding on the current default device so checkpoints
+        # restore across device types (saved on TPU, loaded on CPU, etc.).
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
         target = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
+            like,
         )
         return ckptr.restore(path, target)
     return ckptr.restore(path)
