@@ -104,3 +104,18 @@ class TestDenseE2E:
         pts2, _ = PLY.read_ply(out)
         assert len(pts2) == n
         assert np.isfinite(pts2).all()
+
+
+class TestLearnedMatcher:
+    def test_checkpoint_restores_and_matches(self):
+        """The shipped checkpoint must load cross-device and outperform a
+        fresh init on the bundled pair (235 vs ~74 matches at train time)."""
+        import os
+
+        ckpt = os.path.join(os.path.dirname(__file__), "..", "checkpoints", "xfeat_v0")
+        if not os.path.isdir(ckpt):
+            pytest.skip("no shipped checkpoint")
+        imL = cv2.resize(cv2.imread("/root/reference/dataset/d2/img1.jpg", 0), (320, 184))
+        imR = cv2.resize(cv2.imread("/root/reference/dataset/d2/img2.jpg", 0), (320, 184))
+        out = stages.detect_match((imL, imR), method="learned", model_checkpoint=ckpt)
+        assert out["num_good_matches"] > 100
