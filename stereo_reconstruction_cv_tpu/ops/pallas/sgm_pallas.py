@@ -67,12 +67,16 @@ def _shift_w(a: jnp.ndarray, shift: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros_like(a[shift:]), a[:shift]], axis=0)
 
 
-ROWS = 2  # rows per vertical grid step (amortizes per-step overhead)
+def _vertical_rows(W: int, D: int) -> int:
+    """Rows per vertical grid step: 2 amortizes per-step overhead but the
+    double-buffered (rows, W, D) blocks must fit VMEM (measured: W*D=147k
+    fits at rows=2; 229k does not)."""
+    return 2 if W * D <= 150_000 else 1
 
 
 def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2,
-                     accumulate, reverse):
-    """One grid step = ROWS rows (unrolled). Carries persist across steps;
+                     accumulate, reverse, rows):
+    """One grid step = `rows` rows (unrolled). Carries persist across steps;
     rows advance in path order (top-down, or bottom-up when reverse)."""
     i = pl.program_id(0)
 
@@ -83,7 +87,7 @@ def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2,
         cur[...] = jnp.zeros_like(cur)
 
     vu, vul, vur = cu[...], cul[...], cur[...]
-    order = range(ROWS - 1, -1, -1) if reverse else range(ROWS)
+    order = range(rows - 1, -1, -1) if reverse else range(rows)
     for k in order:
         c = c_ref[k].astype(jnp.float32)  # (W, D); C stored int16/int32
         vu = _sgm_update(vu, c, p1, p2)
@@ -134,21 +138,23 @@ def _row_tile(H: int, max_tile: int = 256) -> int:
 
 def _sweep_vertical(C, S, p1, p2, reverse: bool, accumulate: bool, interpret: bool):
     H, W, D = C.shape
-    # Pad H to a ROWS multiple with zero-cost rows (zero cost keeps the
+    rows = _vertical_rows(W, D)
+    # Pad H to a rows multiple with zero-cost rows (zero cost keeps the
     # carry at zero, so the pad is an exact no-op for path starts). For the
     # reverse sweep the pad is scanned first, which is equally benign.
-    Hp = -(-H // ROWS) * ROWS
+    Hp = -(-H // rows) * rows
     if Hp != H:
         C = jnp.pad(C, ((0, Hp - H), (0, 0), (0, 0)))
         S = jnp.pad(S, ((0, Hp - H), (0, 0), (0, 0)))
-    nh = Hp // ROWS
+    nh = Hp // rows
     if reverse:
         index_map = lambda i: (nh - 1 - i, 0, 0)
     else:
         index_map = lambda i: (i, 0, 0)
-    spec = pl.BlockSpec((ROWS, W, D), index_map, memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((rows, W, D), index_map, memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _vertical_kernel, p1=p1, p2=p2, accumulate=accumulate, reverse=reverse
+        _vertical_kernel, p1=p1, p2=p2, accumulate=accumulate, reverse=reverse,
+        rows=rows,
     )
     out = pl.pallas_call(
         kernel,
@@ -217,7 +223,8 @@ def sgm_aggregate_pallas(
     # scoped budget, so those directions fall back to the exact XLA scans
     # (row-tiled callers — sgbm_disparity_tiled / the 'space' sharding —
     # keep H small, but W stays full).
-    vert_vmem = W * D * 4 * 9  # 2x(Cin) + 4x(S in/out) ~= 4B each + 3 carries
+    # rows=1 blocks: (2 Cin + 4 S) buffers * 4B + 3 carries * 4B ~ 32*W*D.
+    vert_vmem = W * D * 32
     if vert_vmem < 13_000_000 or interpret:
         S = _sweep_vertical(C, jnp.zeros(C.shape, jnp.float32), p1, p2,
                             reverse=False, accumulate=False, interpret=interpret)
