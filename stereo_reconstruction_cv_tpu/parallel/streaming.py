@@ -51,7 +51,13 @@ def stream_reconstruct(
     """Stream stereo pairs -> per-pair PLY point clouds. Returns paths.
 
     The prefetch loader decodes ahead (native libjpeg, GIL released) and
-    places batches on the mesh while the previous batch computes."""
+    places batches on the mesh while the previous batch computes.
+
+    Note: per-pair wall time is dominated by the device->host fetch of the
+    (disparity, points) arrays (~35 MB/pair at 1080p). On a directly
+    attached TPU host that is PCIe-speed; through this dev environment's
+    remote-TPU relay it is seconds, so measured e2e throughput here badly
+    understates production throughput (device compute is ~70-120 ms/pair)."""
     os.makedirs(out_dir, exist_ok=True)
     sharding = M.batch_row_sharding(mesh) if mesh is not None else None
     loader = PrefetchLoader(pairs, batch_size=batch_size, prefetch=prefetch,
