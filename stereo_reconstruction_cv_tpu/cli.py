@@ -50,11 +50,38 @@ def _load_K(args):
     return None
 
 
+def _load_dist(args):
+    if getattr(args, "calibration", None):
+        z = np.load(args.calibration)
+        if "dist" in z:
+            return z["dist"]
+    return None
+
+
+def cmd_stereo_calibrate(args):
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+
+    out = stages.calibrate_stereo_rig(args.folder1, args.folder2, tuple(args.chessboard))
+    if "error" in out:
+        print(out["error"], file=sys.stderr)
+        return 1
+    for k in ("K1", "dist1", "K2", "dist2", "R", "T"):
+        print(f"\n== {k} ==\n{out[k]}")
+    print(f"\nrms: {out['rms']:.4f}  pairs used: {out['num_pairs']}")
+    if args.save:
+        np.savez(args.save, **{k: out[k] for k in ("K1", "dist1", "K2", "dist2", "R", "T")})
+        print(f"saved rig calibration to {args.save}")
+    return 0
+
+
 def cmd_rectify(args):
     from stereo_reconstruction_cv_tpu.pipeline import stages
     from stereo_reconstruction_cv_tpu.io.image import save_image
 
-    out = stages.rectify_pair(args.pair, baseline=args.baseline, camera_matrix=_load_K(args))
+    out = stages.rectify_pair(
+        args.pair, baseline=args.baseline, camera_matrix=_load_K(args),
+        dist=_load_dist(args) if args.undistort else None,
+    )
     os.makedirs(args.outdir, exist_ok=True)
     save_image(os.path.join(args.outdir, "left_rectified.jpg"), out["left_rectified"])
     save_image(os.path.join(args.outdir, "right_rectified.jpg"), out["right_rectified"])
@@ -215,8 +242,18 @@ def main(argv=None):
     r.add_argument("pair")
     r.add_argument("--baseline", type=float, default=0.1)
     r.add_argument("--calibration", default=None)
+    r.add_argument("--undistort", action="store_true",
+                   help="apply the calibration's distortion in the remap "
+                        "(the reference passes dist=None; opt in)")
     r.add_argument("--outdir", default="rectify_out")
     r.set_defaults(fn=cmd_rectify)
+
+    scal = sub.add_parser("stereo-calibrate", help="two-camera rig calibration [branch]")
+    scal.add_argument("folder1")
+    scal.add_argument("folder2")
+    scal.add_argument("--chessboard", type=int, nargs=2, default=[9, 7])
+    scal.add_argument("--save", default=None)
+    scal.set_defaults(fn=cmd_stereo_calibrate)
 
     m = sub.add_parser("match", help="feature detect/match (Tabs 3/7)")
     m.add_argument("pair")

@@ -133,6 +133,48 @@ def _calib_results_tuple(out):
     ]
 
 
+def calibrate_stereo_rig(
+    folder1: str,
+    folder2: str,
+    chessboard: Tuple[int, int] = (9, 7),
+) -> Dict:
+    """Two-camera rig calibration from synchronized chessboard folders
+    (the stereo-camera branch workflow, README.md:59-76): detects boards in
+    both cameras' images (paired by sorted filename), keeps views seen by
+    BOTH, and jointly calibrates K1/dist1/K2/dist2/R/T."""
+    from stereo_reconstruction_cv_tpu.calib import stereo as SCAL
+
+    f1 = IO.glob_calibration_images(folder1)
+    f2 = IO.glob_calibration_images(folder2)
+    if not f1 or not f2 or len(f1) != len(f2):
+        return {"error": f"need matching image counts ({len(f1)} vs {len(f2)})"}
+    cols, rows = chessboard
+    p1, p2 = [], []
+    size = None
+    for a, b in zip(f1, f2):
+        g1 = IO.load_gray(a)
+        g2 = IO.load_gray(b)
+        size = (g1.shape[1], g1.shape[0])
+        ok1, c1 = CB.find_chessboard_corners(jnp.asarray(g1), cols, rows)
+        ok2, c2 = CB.find_chessboard_corners(jnp.asarray(g2), cols, rows)
+        if ok1 and ok2:
+            p1.append(np.asarray(c1))
+            p2.append(np.asarray(c2))
+    if len(p1) < 3:
+        return {"error": f"board found in both views for only {len(p1)} pairs"}
+    obj = np.asarray(Z.build_object_points(cols, rows))
+    with _on_host_cpu():
+        res = SCAL.calibrate_stereo(
+            jnp.asarray(obj), jnp.asarray(np.stack(p1)), jnp.asarray(np.stack(p2)), size
+        )
+    return {
+        "K1": np.asarray(res.K1), "dist1": np.asarray(res.dist1),
+        "K2": np.asarray(res.K2), "dist2": np.asarray(res.dist2),
+        "R": np.asarray(res.R), "T": np.asarray(res.T),
+        "rms": float(res.rms), "num_pairs": len(p1),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Features & matching
 # ---------------------------------------------------------------------------

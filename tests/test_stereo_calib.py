@@ -67,3 +67,29 @@ def test_parity_with_cv2_stereo_calibrate(rng):
     assert err_R_ours <= max(err_R_cv * 1.5, 5e-3), (err_R_ours, err_R_cv)
     assert err_T_ours <= max(err_T_cv * 1.5, 2e-3), (err_T_ours, err_T_cv)
     assert float(res.rms) <= max(rms_cv * 1.05, 0.25)
+
+
+def test_calibrate_stereo_rig_folder_workflow(tmp_path, rng):
+    """Folder-level two-camera workflow: render synthetic board pairs to
+    disk, run the stage end-to-end through detection + joint calibration."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_chessboard import render_board
+
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+
+    d1 = tmp_path / "cam1"
+    d2 = tmp_path / "cam2"
+    d1.mkdir(); d2.mkdir()
+    # Simple rig: camera 2 sees the same board shifted (pure translation in
+    # image space approximates a small-baseline rig for the detection path).
+    for i in range(4):
+        img, _ = render_board(rng, warp=True)
+        cv2.imwrite(str(d1 / f"v{i}.jpg"), img)
+        M = np.float32([[1, 0, -12], [0, 1, 3]])
+        img2 = cv2.warpAffine(img, M, (img.shape[1], img.shape[0]), borderValue=160)
+        cv2.imwrite(str(d2 / f"v{i}.jpg"), img2)
+    out = stages.calibrate_stereo_rig(str(d1), str(d2))
+    assert "error" not in out, out.get("error")
+    assert out["num_pairs"] >= 3
+    assert np.isfinite(out["R"]).all() and np.isfinite(out["T"]).all()
