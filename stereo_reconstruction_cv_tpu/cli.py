@@ -15,7 +15,6 @@ headless-first for TPU hosts (SURVEY §7 step 8).
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 

@@ -22,7 +22,6 @@ One jitted train step, data-parallel over a device mesh ('data' axis).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import flax.linen as nn

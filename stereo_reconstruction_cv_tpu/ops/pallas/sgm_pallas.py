@@ -23,7 +23,6 @@ Results are bit-exact vs ops.disparity.sgm_aggregate (same integer math).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

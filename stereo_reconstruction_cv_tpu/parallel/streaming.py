@@ -10,7 +10,7 @@ batch-sharded over 'data' (rows over 'space' when the mesh has one).
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ negate T for the canonical-orientation cloud.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax
