@@ -7,7 +7,8 @@ maps each stage onto XLA-friendly dense ops:
   x-Sobel prefilter (clipped)      -> elementwise conv        (VPU)
   Birchfield-Tomasi cost volume    -> shifted gathers over d  (VPU)
   block aggregation (11x11 SAD)    -> separable box filter    (VPU, fused)
-  semi-global path aggregation     -> lax.scan DP recurrences per direction
+  semi-global path aggregation     -> Pallas VMEM-carry sweeps (TPU) /
+                                      lax.scan recurrences (CPU reference)
   WTA + uniqueness + subpixel      -> reductions over d
   left-right consistency           -> diagonal gather of the cost volume
   speckle filter                   -> label-propagation connected components
@@ -323,15 +324,21 @@ def lr_check(
     pad_best = jnp.pad(best, ((0, 0), (x0, D + min_disp)), constant_values=-1)
     pad_minS = jnp.pad(minS, ((0, 0), (x0, D + min_disp)), constant_values=BIG)
 
-    def right_candidate(d):
+    # Running min/argmin over d: never materializes the (H, Wf, D) volume
+    # (a stacked version costs two extra full-volume HBM passes).
+    run_min = jnp.full((H, W_full), BIG)
+    run_arg = jnp.zeros((H, W_full), jnp.int32)
+    for d in range(D):
         s = min_disp + d  # left partner offset
         b = jax.lax.slice_in_dim(pad_best, s, s + W_full, axis=1)
-        v = jax.lax.slice_in_dim(pad_minS, s, s + W_full, axis=1)
-        return jnp.where(b == d, v, BIG)
-
-    SR = jnp.stack([right_candidate(d) for d in range(D)], axis=-1)  # (H, Wf, D)
-    has_partner = jnp.any(SR < BIG, axis=-1)
-    dispR = jnp.argmin(SR, axis=-1) + min_disp  # integer disparity units
+        v = jnp.where(
+            b == d, jax.lax.slice_in_dim(pad_minS, s, s + W_full, axis=1), BIG
+        )
+        take = v < run_min
+        run_min = jnp.where(take, v, run_min)
+        run_arg = jnp.where(take, d, run_arg)
+    has_partner = run_min < BIG
+    dispR = run_arg + min_disp  # integer disparity units
 
     def check(d_int):
         """True where the partner at x - d_int confirms disparity d_int."""
