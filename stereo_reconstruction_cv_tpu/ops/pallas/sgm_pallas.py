@@ -14,10 +14,12 @@ sweep. Four sweeps cover all 8 directions:
 
 S accumulates in place across sweeps via input_output_aliases, so total
 HBM traffic is (read C + read/write S) per sweep — the XLA scan version
-materializes a full (H, W, D) tensor per *direction* and burns ~50ms per
-scan at 720p/128; these sweeps are bandwidth-bound.
+materializes a full (H, W, D) tensor per *direction* (~35ms/scan at
+720p/128 vs ~38ms for ALL four sweeps here).
 
-Results are bit-exact vs ops.disparity.sgm_aggregate (same integer math).
+Kernels compute in f32 (exact: every value < 2^24, ~1.5x faster than int32
+on the VPU) and accept an int16-stored cost volume. Results are bit-exact
+vs ops.disparity.sgm_aggregate (same math, verified on hardware).
 """
 
 from __future__ import annotations
