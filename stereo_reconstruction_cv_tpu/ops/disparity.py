@@ -303,6 +303,20 @@ def lr_check(
     min_disp: int,
     max_diff: int,
 ) -> jnp.ndarray:
+    """Left-right consistency from the aggregated volume (XLA path)."""
+    best = jnp.argmin(S, axis=-1).astype(jnp.int32)
+    minS = jnp.min(S, axis=-1)
+    return lr_check_maps(best, minS, disp, S.shape[-1], min_disp, max_diff)
+
+
+def lr_check_maps(
+    best: jnp.ndarray,
+    minS: jnp.ndarray,
+    disp: jnp.ndarray,
+    num_disp: int,
+    min_disp: int,
+    max_diff: int,
+) -> jnp.ndarray:
     """Left-right consistency (disp12MaxDiff), OpenCV winner-scatter parity.
 
     OpenCV builds disp2 by scatter-min of each left pixel's *winning* cost
@@ -310,13 +324,17 @@ def lr_check(
     candidates are left pixels x = xr + min_disp + d whose WTA winner is d;
     take the one with the smallest winning cost. A left pixel is then
     invalidated only if both floor and ceil of its subpixel disparity point
-    at valid right partners that disagree by more than max_diff."""
-    H, Wc, D = S.shape  # S covers cropped columns [x0, x0 + Wc) of the image
+    at valid right partners that disagree by more than max_diff.
+
+    Operates on the (H, Wc) winner maps (best in [0, D), minS = winning
+    cost) so the caller can keep the volume on-chip (sgm_wta_pallas)."""
+    H, Wc = best.shape  # maps cover cropped columns [x0, x0 + Wc)
+    D = num_disp
     x0 = min_disp + D  # OpenCV's minX1 for min_disp >= 0
     W_full = x0 + Wc
     BIG = jnp.int32(1 << 29)
-    best = jnp.argmin(S, axis=-1).astype(jnp.int32)  # (H, Wc) winner index
-    minS = jnp.min(S, axis=-1)
+    best = best.astype(jnp.int32)
+    minS = minS.astype(jnp.int32)
 
     # Winner-only right-view cost, via static shifted slices (gather-free:
     # shifts compile to windowed reads, ~10x faster than per-d gathers).
@@ -451,24 +469,49 @@ def sgbm_disparity(
     for p in (sl, sr, left.astype(jnp.int32), right.astype(jnp.int32)):
         planes.append(p.at[:, 0].set(capv).at[:, -1].set(capv))
     sl, sr, rawl, rawr = planes
-    C = bt_cost_volume(sl, sr, rawl, rawr, cfg.num_disparities, cfg.min_disparity)
-    C = C[:, x0:, :]  # crop to the computed region [minX1, W)
-    C = block_sum(C, cfg.block_size)
+    # 'auto' selects the Pallas TPU kernels only on an actual TPU backend;
+    # GPU or other accelerators fall back to the XLA scans.
     use_pallas = cfg.backend == "pallas" or (
-        cfg.backend == "auto" and jax.default_backend() not in ("cpu",)
+        cfg.backend == "auto" and jax.default_backend() == "tpu"
     )
     if use_pallas:
+        from stereo_reconstruction_cv_tpu.ops.pallas.cost_pallas import (
+            cost_volume_pallas,
+        )
         from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import (
             sgm_aggregate_pallas,
         )
 
-        S = sgm_aggregate_pallas(C, cfg.p1, cfg.p2, cfg.num_directions)
+        from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import sgm_wta_pallas
+
+        # Fused BT cost + 11x11 block sum in one pass (bit-exact vs the
+        # XLA pair below); block_size != 11 falls back to the XLA path.
+        if cfg.block_size == 11:
+            C = cost_volume_pallas(
+                sl, sr, rawl, rawr, cfg.num_disparities, cfg.min_disparity
+            )
+        else:
+            C = bt_cost_volume(sl, sr, rawl, rawr, cfg.num_disparities, cfg.min_disparity)
+            C = block_sum(C[:, x0:, :], cfg.block_size)
+        # All sweeps with WTA fused into the last one — the aggregated
+        # volume never returns to HBM.
+        disp, valid, best, minS = sgm_wta_pallas(
+            C, cfg.p1, cfg.p2, cfg.num_directions,
+            cfg.uniqueness_ratio, cfg.min_disparity,
+        )
+        if cfg.disp12_max_diff >= 0:
+            valid &= lr_check_maps(
+                best, minS, disp, cfg.num_disparities,
+                cfg.min_disparity, cfg.disp12_max_diff,
+            )
     else:
+        C = bt_cost_volume(sl, sr, rawl, rawr, cfg.num_disparities, cfg.min_disparity)
+        C = block_sum(C[:, x0:, :], cfg.block_size)
         dirs = DIRS_8 if cfg.num_directions == 8 else DIRS_5
         S = sgm_aggregate(C, cfg.p1, cfg.p2, dirs, cfg.scan_chunk, cfg.scan_halo)
-    disp, valid = wta_disparity(S, cfg.min_disparity, cfg.uniqueness_ratio)
-    if cfg.disp12_max_diff >= 0:
-        valid &= lr_check(S, disp, cfg.min_disparity, cfg.disp12_max_diff)
+        disp, valid = wta_disparity(S, cfg.min_disparity, cfg.uniqueness_ratio)
+        if cfg.disp12_max_diff >= 0:
+            valid &= lr_check(S, disp, cfg.min_disparity, cfg.disp12_max_diff)
     # Pad the invalid left margin back to full width.
     disp = jnp.pad(disp, ((0, 0), (x0, 0)), constant_values=float(cfg.min_disparity - 1))
     valid = jnp.pad(valid, ((0, 0), (x0, 0)), constant_values=False)

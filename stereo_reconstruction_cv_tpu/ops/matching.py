@@ -69,7 +69,9 @@ def knn2_match(
         ok &= valid1
     ok &= jnp.isfinite(best)
     if mutual:
-        back = jnp.argmin(dist, axis=0)  # best d1 for each d2
+        # Padded/invalid d1 rows must not steal backward matches.
+        bdist = dist if valid1 is None else jnp.where(valid1[:, None], dist, jnp.inf)
+        back = jnp.argmin(bdist, axis=0)  # best d1 for each d2
         ok &= back[best_idx] == jnp.arange(d1.shape[0])
     return MatchResult(best_idx.astype(jnp.int32), jnp.sqrt(best), jnp.sqrt(second), ok)
 

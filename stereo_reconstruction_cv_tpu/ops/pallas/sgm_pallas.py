@@ -128,6 +128,77 @@ def _horizontal_kernel(c_ref, s_in_ref, s_out_ref, carry, *, p1, p2, reverse):
     carry[...] = cur
 
 
+def _horizontal_wta_kernel(
+    c_ref, s_in_ref, out_ref, carry,
+    *, p1, p2, uniqueness_ratio, min_disp, D,
+):
+    """Final (right-to-left) horizontal sweep with winner-take-all fused.
+
+    Adds this direction's DP term to the accumulated S block and reduces
+    over d in-register: WTA argmin, OpenCV uniqueness test, quadratic
+    subpixel. The full aggregated volume never round-trips HBM — the
+    output block is (Ht, COLS, 8) f32 packing [disp, uniqueness-valid,
+    best d, winning cost] in lanes 0..3 (8-lane blocks are the smallest
+    legal TPU lane dim; best/minS are exact in f32, both < 2^24).
+    """
+    import numpy as _np
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    cur = carry[...]
+    cols = [None] * COLS
+    d_iota = None
+    for k in range(COLS - 1, -1, -1):
+        c = c_ref[:, k, :].astype(jnp.float32)  # (Ht, D)
+        cur = _sgm_update(cur, c, p1, p2)
+        S = (s_in_ref[:, k, :] + cur).astype(jnp.int32)  # exact: ints < 2^24
+        if d_iota is None:
+            d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
+        minS = jnp.min(S, axis=-1, keepdims=True)
+        big_i = _np.int32(1 << 30)
+        best = jnp.min(
+            jnp.where(S == minS, d_iota, big_i), axis=-1, keepdims=True
+        )  # first argmin, matching jnp.argmin
+        # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
+        # S[d]*(100 - ratio) < minS*100 (int32 exact).
+        far = jnp.abs(d_iota - best) > 1
+        close = (S * _np.int32(100 - uniqueness_ratio) < minS * _np.int32(100)) & far
+        bad = jnp.max(close.astype(jnp.int32), axis=-1, keepdims=True)
+        # Subpixel neighbors via one-hot masked reductions.
+        bm1 = jnp.maximum(best - 1, 0)
+        bp1 = jnp.minimum(best + 1, _np.int32(D - 1))
+        Sm1 = jnp.sum(jnp.where(d_iota == bm1, S, 0), axis=-1, keepdims=True)
+        Sp1 = jnp.sum(jnp.where(d_iota == bp1, S, 0), axis=-1, keepdims=True)
+        denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
+        frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
+        interior = (best > 0) & (best < D - 1)
+        disp = (
+            best.astype(jnp.float32)
+            + jnp.where(interior, frac, 0.0)
+            + _np.float32(min_disp)
+        )
+        f = jnp.float32
+        cols[k] = jnp.concatenate(
+            [
+                disp,
+                (1 - bad).astype(f),
+                best.astype(f),
+                minS.astype(f),
+                jnp.zeros_like(disp),
+                jnp.zeros_like(disp),
+                jnp.zeros_like(disp),
+                jnp.zeros_like(disp),
+            ],
+            axis=-1,
+        )[:, None, :]  # (Ht, 1, 8)
+    carry[...] = cur
+    out_ref[...] = jnp.concatenate(cols, axis=1)
+
+
 def _row_tile(H: int, max_tile: int = 256) -> int:
     """Largest multiple-of-8 divisor of H not exceeding max_tile."""
     best = 8
@@ -200,6 +271,92 @@ def _sweep_horizontal(C, S, p1, p2, reverse: bool, interpret: bool):
         interpret=interpret,
     )(C, S)
     return out[:H, :W] if (Wp != W or Hp != H) else out
+
+
+def _sweep_horizontal_wta(
+    C, S, p1, p2, uniqueness_ratio, min_disp, interpret: bool
+):
+    """Right-to-left sweep + fused WTA. Returns (disp, valid, best, minS)
+    full-size (H, W) maps."""
+    H, W, D = C.shape
+    Wp = -(-W // COLS) * COLS
+    Hp = -(-H // 8) * 8
+    if Wp != W or Hp != H:
+        C = jnp.pad(C, ((0, Hp - H), (0, Wp - W), (0, 0)))
+        S = jnp.pad(S, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    nb = Wp // COLS
+    # Smaller row tile than the plain sweep: the fused WTA reductions keep
+    # several (Ht, D) intermediates live per unrolled column.
+    Ht = _row_tile(Hp, max_tile=96)
+    nh = Hp // Ht
+    index_map = lambda i, j: (i, nb - 1 - j, 0)
+    spec = pl.BlockSpec((Ht, COLS, D), index_map, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((Ht, COLS, 8), index_map, memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _horizontal_wta_kernel, p1=p1, p2=p2,
+        uniqueness_ratio=uniqueness_ratio, min_disp=min_disp, D=D,
+    )
+    packed = pl.pallas_call(
+        kernel,
+        grid=(nh, nb),
+        in_specs=[spec, spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32)],
+        interpret=interpret,
+    )(C, S)
+    packed = packed[:H, :W]
+    return (
+        packed[..., 0],
+        packed[..., 1] != 0,
+        packed[..., 2].astype(jnp.int32),
+        packed[..., 3].astype(jnp.int32),
+    )
+
+
+def sgm_wta_pallas(
+    C: jnp.ndarray,
+    p1: int,
+    p2: int,
+    num_directions: int = 8,
+    uniqueness_ratio: int = 10,
+    min_disp: int = 0,
+    interpret: bool = False,
+):
+    """All SGM sweeps with winner-take-all fused into the final one.
+
+    Returns (disp f32, uniqueness-valid bool, best i32, minS i32) — the
+    aggregated volume never round-trips HBM after the last sweep.
+    Numerically identical to wta_disparity(sgm_aggregate_pallas(...)).
+    """
+    assert num_directions in (5, 8)
+    if C.dtype not in (jnp.int16, jnp.int32):
+        C = C.astype(jnp.int32)
+    p1 = float(p1)
+    p2 = float(p2)
+    H, W, D = C.shape
+    vert_vmem = W * D * 32
+    if vert_vmem < 13_000_000 or interpret:
+        S = _sweep_vertical(C, jnp.zeros(C.shape, jnp.float32), p1, p2,
+                            reverse=False, accumulate=False, interpret=interpret)
+        if num_directions == 8:
+            S = _sweep_vertical(C, S, p1, p2, reverse=True, accumulate=True,
+                                interpret=interpret)
+    else:
+        from stereo_reconstruction_cv_tpu.ops import disparity as _dp
+
+        dirs = [(1, 1), (0, 1), (-1, 1)]
+        if num_directions == 8:
+            dirs += [(-1, -1), (0, -1), (1, -1)]
+        C32 = C.astype(jnp.int32)
+        S = jnp.zeros(C.shape, jnp.int32)
+        for dx, dy in dirs:
+            S = S + _dp._scan_dir(C32, dx, dy, int(p1), int(p2), None, 32)
+        S = S.astype(jnp.float32)
+    S = _sweep_horizontal(C, S, p1, p2, reverse=False, interpret=interpret)
+    return _sweep_horizontal_wta(
+        C, S, p1, p2, uniqueness_ratio, min_disp, interpret=interpret
+    )
 
 
 def sgm_aggregate_pallas(

@@ -121,7 +121,10 @@ def stereo_rectify(
     ratio = (nW / W / 2.0) if idx == 1 else (nH / H / 2.0)
     fc_new = (K1[idx ^ 1, idx ^ 1] + K2[idx ^ 1, idx ^ 1]) * ratio
 
-    # New principal points: center the projected original corners.
+    # New principal points: center the projected original corners. OpenCV
+    # centers against the ORIGINAL size here ((W-1)/2, (H-1)/2); the
+    # new-size ratio is applied only inside the alpha branch below —
+    # applying it here too double-scales cc when new_image_size is set.
     corners = jnp.array(
         [[0.0, 0.0], [W - 1.0, 0.0], [0.0, H - 1.0], [W - 1.0, H - 1.0]], dt
     )
@@ -131,7 +134,7 @@ def stereo_rectify(
         v = G.to_homogeneous(n) @ Rk.T
         proj = fc_new * v[:, :2] / v[:, 2:3]
         avg = jnp.mean(proj, axis=0)
-        cc.append(jnp.array([(nW - 1) / 2, (nH - 1) / 2], dt) - avg)
+        cc.append(jnp.array([(W - 1) / 2, (H - 1) / 2], dt) - avg)
     cc1, cc2 = cc
     if zero_disparity:
         cc1 = cc2 = (cc1 + cc2) * 0.5
@@ -152,6 +155,12 @@ def stereo_rectify(
             P = P.at[idx, 3].set(tterm)
         return P
 
+    # cc carries the new-size ratio exactly once: here for alpha < 0, or
+    # inside the alpha branch (which starts from the unscaled cc) otherwise.
+    scale_xy = jnp.array([nW / W, nH / H], dt)
+    if alpha < 0:
+        cc1 = cc1 * scale_xy
+        cc2 = cc2 * scale_xy
     P1 = make_P(fc_new, cc1, None)
     P2 = make_P(fc_new, cc2, t[idx] * fc_new)
 

@@ -46,11 +46,13 @@ def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     v = jnp.where(mask[None, :], values, jnp.inf)
     v = jnp.sort(v, axis=-1)
     mid = jnp.maximum(n_valid - 1, 0) // 2
+    hi_idx = jnp.maximum(jnp.minimum(mid + (1 - n_valid % 2), n_valid - 1), 0)
     lo = jnp.take_along_axis(v, jnp.full((v.shape[0], 1), mid), axis=-1)[:, 0]
-    hi = jnp.take_along_axis(
-        v, jnp.full((v.shape[0], 1), jnp.minimum(mid + (1 - n_valid % 2), n_valid - 1)), axis=-1
-    )[:, 0]
-    return 0.5 * (lo + hi)
+    hi = jnp.take_along_axis(v, jnp.full((v.shape[0], 1), hi_idx), axis=-1)[:, 0]
+    med = 0.5 * (lo + hi)
+    # n_valid == 0 would otherwise index -1 (wraparound garbage); surface
+    # the degenerate case as +inf so callers can detect it.
+    return jnp.where(n_valid > 0, med, jnp.inf)
 
 
 def robust_fit(

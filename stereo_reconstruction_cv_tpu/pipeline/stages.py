@@ -73,15 +73,24 @@ def calibrate(
     and the reference's result-tuple format under 'results'.
     save_corner_annotations mirrors the reference flag (gui.py:41, notebook
     True): writes corner-overlay JPGs into annotation_dir."""
+    from stereo_reconstruction_cv_tpu.pipeline.cache import file_fingerprint
+
     files = IO.glob_calibration_images(folder)
     if not files:
         return {"error": f"no *.jpg calibration images in {folder!r}"}
-    key = {"files": files}
+    key = {"files": [file_fingerprint(f) for f in files]}
     if cache is not None:
         hit = cache.load("calibrate", key)
         if hit is not None:
-            hit["results"] = _calib_results_tuple(hit)
-            return hit
+            out = {k: v for k, v in hit.items()}
+            # Scalars round-trip as 0-d arrays; restore native types.
+            for k in ("rms", "mean_error"):
+                if k in out:
+                    out[k] = float(out[k])
+            if "num_images" in out:
+                out["num_images"] = int(out["num_images"])
+            out["results"] = _calib_results_tuple(out)
+            return out
     cols, rows = chessboard
     pts, used = [], []
     for f in files:
@@ -118,7 +127,15 @@ def calibrate(
         "num_images": len(pts),
     }
     if cache is not None:
-        cache.save("calibrate", key, {k: v for k, v in out.items() if isinstance(v, np.ndarray)})
+        cache.save(
+            "calibrate",
+            key,
+            {
+                k: np.asarray(v)
+                for k, v in out.items()
+                if isinstance(v, (np.ndarray, float, int))
+            },
+        )
     out["results"] = _calib_results_tuple(out)
     return out
 
@@ -128,7 +145,7 @@ def _calib_results_tuple(out):
     return [
         ("Camera Matrix", out["K"]),
         ("Distortion Parameters", out["dist"]),
-        ("Reprojection Error", out.get("mean_error", float(np.asarray(out.get("mean_error", 0))))),
+        ("Reprojection Error", float(out["mean_error"])),
     ]
 
 

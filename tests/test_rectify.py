@@ -12,9 +12,12 @@ K_REF = np.array([[2253.71, 0, 1929.69], [0, 2244.72, 1057.63], [0, 0, 1.0]])
 DIST_REF = np.array([0.2090, -0.5576, -7.2e-6, 5.2e-4, 0.3812])
 
 
-def assert_rectify_matches_cv2(K1, d1, K2, d2, size, R, T, alpha, atol=1e-4):
+def assert_rectify_matches_cv2(
+    K1, d1, K2, d2, size, R, T, alpha, atol=1e-4, new_image_size=None
+):
     R1c, R2c, P1c, P2c, Qc, _, _ = cv2.stereoRectify(
-        K1, d1, K2, d2, size, R, T.reshape(3, 1), alpha=alpha
+        K1, d1, K2, d2, size, R, T.reshape(3, 1), alpha=alpha,
+        newImageSize=new_image_size if new_image_size is not None else (0, 0),
     )
     res = RC.stereo_rectify(
         jnp.asarray(K1),
@@ -25,6 +28,7 @@ def assert_rectify_matches_cv2(K1, d1, K2, d2, size, R, T, alpha, atol=1e-4):
         jnp.asarray(R),
         jnp.asarray(T),
         alpha=alpha,
+        new_image_size=new_image_size,
     )
     np.testing.assert_allclose(np.asarray(res.R1), R1c, atol=atol)
     np.testing.assert_allclose(np.asarray(res.R2), R2c, atol=atol)
@@ -53,6 +57,17 @@ class TestStereoRectify:
         T = np.array([-0.8, 0.05, 0.1])
         assert_rectify_matches_cv2(
             K_REF, DIST_REF, K_REF * 1.01, DIST_REF * 0.5, (1920, 1080), R, T, alpha
+        )
+
+    @pytest.mark.parametrize("alpha", [-1.0, 0.0, 1.0])
+    def test_new_image_size(self, alpha):
+        """newImageSize != imageSize: cc must center on the ORIGINAL size,
+        with the new-size ratio applied only in the alpha branch."""
+        R = cv2.Rodrigues(np.array([0.002, -0.01, 0.004]))[0]
+        T = np.array([0.99995, 0.00964, -0.00387])
+        assert_rectify_matches_cv2(
+            K_REF, None, K_REF, None, (3840, 2160), R, T, alpha,
+            new_image_size=(1920, 1080),
         )
 
     def test_vertical_stereo(self):

@@ -5,7 +5,10 @@ import jax.numpy as jnp
 import pytest
 
 from stereo_reconstruction_cv_tpu.ops import disparity as DP
-from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import sgm_aggregate_pallas
+from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import (
+    sgm_aggregate_pallas,
+    sgm_wta_pallas,
+)
 
 
 @pytest.mark.parametrize("ndirs", [5, 8])
@@ -17,3 +20,28 @@ def test_bitexact_vs_xla(rng, ndirs, shape):
     ref = DP.sgm_aggregate(C, p1, p2, dirs, None, 32)
     out = sgm_aggregate_pallas(C, p1, p2, ndirs, interpret=True)
     assert jnp.array_equal(ref, out), int(jnp.abs(ref - out).max())
+
+
+@pytest.mark.parametrize("ndirs", [5, 8])
+@pytest.mark.parametrize("shape", [(24, 32, 16), (30, 41, 16)])
+def test_wta_fused_matches_xla(rng, ndirs, shape):
+    """sgm_wta_pallas == wta_disparity(sgm_aggregate(...)) + lr maps."""
+    C = jnp.asarray(rng.integers(0, 20000, size=shape), dtype=jnp.int32)
+    p1, p2 = 2904, 11616
+    min_disp, uq = 3, 10
+    dirs = DP.DIRS_5 if ndirs == 5 else DP.DIRS_8
+    S = DP.sgm_aggregate(C, p1, p2, dirs, None, 32)
+    disp_ref, valid_ref = DP.wta_disparity(S, min_disp, uq)
+    best_ref = jnp.argmin(S, axis=-1)
+    mins_ref = jnp.min(S, axis=-1)
+    disp, valid, best, minS = sgm_wta_pallas(
+        C, p1, p2, ndirs, uq, min_disp, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(disp_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_ref))
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(best_ref))
+    np.testing.assert_array_equal(np.asarray(minS), np.asarray(mins_ref))
+    # The full-map lr check consumes these outputs identically.
+    lr_ref = DP.lr_check(S, disp_ref, min_disp, 1)
+    lr_new = DP.lr_check_maps(best, minS, disp, shape[-1], min_disp, 1)
+    np.testing.assert_array_equal(np.asarray(lr_new), np.asarray(lr_ref))
