@@ -47,8 +47,12 @@ SUB = WT + 16  # sublanes per cost row (WT + 10 used, padded to 16-multiple)
 
 
 def _bt_cost(left_row, right_row, *, shift_l, shift_r, D):
-    """BT cost row (SUB, D) int32 from two flipped (1, N) int32 rows."""
+    """BT cost row (SUB, D) int32 from two flipped (1, N) int32 rows.
+
+    The two rows may have different widths (their block counts nbf_l/nbf_r
+    are derived independently; they diverge e.g. at D=256)."""
     N = left_row.shape[-1]
+    Nr = right_row.shape[-1]
     half = np.int32(1)
 
     lvT = pltpu.roll(
@@ -59,7 +63,7 @@ def _bt_cost(left_row, right_row, *, shift_l, shift_r, D):
     lhi = jnp.maximum(jnp.maximum((lv + vl) >> half, (lv + vr) >> half), lv)
 
     rvT = pltpu.roll(
-        jnp.broadcast_to(right_row, (SUB, N)), shift_r, 1, stride=1, stride_axis=0
+        jnp.broadcast_to(right_row, (SUB, Nr)), shift_r, 1, stride=1, stride_axis=0
     )
     rv = rvT[:, 1 : D + 1]        # right[x + D - d]
     rplus = rvT[:, 0:D]           # right[x + D - d + 1]

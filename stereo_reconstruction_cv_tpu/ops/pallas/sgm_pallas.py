@@ -68,11 +68,20 @@ def _shift_w(a: jnp.ndarray, shift: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros_like(a[shift:]), a[:shift]], axis=0)
 
 
+def _lane_elems(W: int, D: int) -> int:
+    """VMEM-resident element count of a (W, D) carry/temporary: the minor
+    axis is lane-padded to the 128-lane vreg width, so D < 128 costs as
+    much as D = 128 (measured: W=1856, D=64 OOMs exactly where
+    W=1856, D=128 would)."""
+    return W * max(D, 128)
+
+
 def _vertical_rows(W: int, D: int) -> int:
     """Rows per vertical grid step: 2 amortizes per-step overhead but the
-    double-buffered (rows, W, D) blocks must fit VMEM (measured: W*D=147k
-    fits at rows=2; 229k does not)."""
-    return 2 if W * D <= 150_000 else 1
+    double-buffered (rows, W, D) blocks + ~20 live (W, D) kernel
+    temporaries must fit scoped VMEM (measured on v5e: lane-padded
+    W*D=147k fits at rows=2; 238k does not)."""
+    return 2 if _lane_elems(W, D) <= 150_000 else 1
 
 
 def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2,
@@ -104,6 +113,156 @@ def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2,
     cu[...] = vu
     cul[...] = vul
     cur[...] = vur
+
+
+# --------------------------------------------------------------------------
+# Column-tiled vertical sweep (large frames: 4K x 128/256)
+#
+# The full-width kernel above streams (rows, W, D) blocks, which exceeds
+# VMEM once W*D*32 ~ 13MB (3840x128 already trips it). The carries
+# themselves are small (12*W*D bytes), so this variant keeps the three
+# direction carries FULL-WIDTH in VMEM scratch and tiles only the
+# *streamed* blocks along columns: grid (row-blocks, col-blocks), columns
+# innermost. Diagonal carries cross column-block boundaries, so each step
+# processes HB rows with HB halo columns per side:
+#
+#   - left-halo UL carries: stashed by the previous column block before it
+#     overwrote them (grid order makes it the immediately preceding step);
+#   - right-halo UR carries: read directly from scratch (that block runs
+#     later in this row pass, so its values are still the old row's);
+#   - the extended (HB + WT + HB, D) carry loses one valid column per side
+#     per row to the zero-filled shift edges, so after HB rows the garbage
+#     cone reaches exactly the last halo column and never a real one.
+#
+# The scratch is padded HB columns on each side (never written, stay zero)
+# so out-of-image halos read exact path-start zeros. Bit-exact vs the
+# full-width kernel and the XLA scans (tests/test_sgm_pallas.py).
+# --------------------------------------------------------------------------
+
+HB = 8  # rows per tiled step == halo columns per side (the cone argument)
+
+
+def _vertical_tiled_kernel(
+    c_ref, cl_ref, cr_ref, s_in_ref, s_out_ref, cu, cul, cur, stash,
+    *, p1, p2, accumulate, reverse, WT, nw,
+):
+    """One grid step = HB rows x WT columns of the vertical sweep."""
+    import numpy as _np
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)  # column block (fastest)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        cu[...] = jnp.zeros_like(cu)
+        cul[...] = jnp.zeros_like(cul)
+        cur[...] = jnp.zeros_like(cur)
+
+    base = j * _np.int32(WT)  # ext-slice start (scratch is left-padded HB)
+    ext = WT + 2 * HB
+    # Old carries over the extended window. Left halo of cu/cur was already
+    # overwritten by the previous block — garbage there is fine (cu is
+    # column-local; cur influence flows left-to-right... i.e. away).
+    vu = cu[pl.ds(base, ext)]
+    vur = cur[pl.ds(base, ext)]
+    # UL's left halo must be the OLD values: the previous block stashed
+    # them. At j == 0 the halo is out-of-image: exact zeros.
+    rest_ul = cul[pl.ds(base + _np.int32(HB), WT + HB)]
+    left_ul = jnp.where(j == 0, jnp.zeros_like(stash[...]), stash[...])
+    vul = jnp.concatenate([left_ul, rest_ul], axis=0)
+    # Stash this block's own last HB UL columns before overwriting.
+    stash[...] = cul[pl.ds(base + _np.int32(WT), HB)]
+
+    zero_l = j == 0
+    zero_r = j == nw - 1
+    order = range(HB - 1, -1, -1) if reverse else range(HB)
+    for k in order:
+        cl = jnp.where(zero_l, 0, cl_ref[k].astype(jnp.int32)).astype(jnp.float32)
+        cr = jnp.where(zero_r, 0, cr_ref[k].astype(jnp.int32)).astype(jnp.float32)
+        c = jnp.concatenate([cl, c_ref[k].astype(jnp.float32), cr], axis=0)
+        vu = _sgm_update(vu, c, p1, p2)
+        vul = _sgm_update(_shift_w(vul, -1), c, p1, p2)
+        vur = _sgm_update(_shift_w(vur, +1), c, p1, p2)
+        total = (vu + vul + vur)[HB : HB + WT]
+        if accumulate:
+            s_out_ref[k] = s_in_ref[k] + total
+        else:
+            s_out_ref[k] = total
+    wslot = pl.ds(base + _np.int32(HB), WT)
+    cu[wslot] = vu[HB : HB + WT]
+    cul[wslot] = vul[HB : HB + WT]
+    cur[wslot] = vur[HB : HB + WT]
+
+
+def _tiled_width(W: int, D: int, budget: int = 13_000_000) -> int:
+    """Column-tile width: fill the VMEM budget left by the full-width
+    carries (12*(W+2HB)*D bytes) with double-buffered streamed blocks
+    (~(2+4+4)*HB*WT*D * 2 bytes). D is lane-padded to the 128-lane vreg
+    width (see _lane_elems)."""
+    D = max(D, 128)
+    carry = 12 * (W + 2 * HB) * D
+    # 10 B/elem (C i16 in + S f32 in + S f32 out) x HB rows, double-buffered.
+    wt = (budget - carry) // (20 * HB * D)
+    wt = max(HB, min(W, wt // HB * HB))
+    # Prefer the largest multiple-of-HB divisor of W within budget: padding
+    # to a non-divisor width forces full HBM copies of C and S (jnp.pad),
+    # which at 4K x 256 is ~12 GB of transient residency — an OOM, not a
+    # slowdown.
+    for d in range(wt, HB - 1, -HB):
+        if W % d == 0:
+            return int(d)
+    return int(wt)
+
+
+def _sweep_vertical_tiled(
+    C, S, p1, p2, reverse: bool, accumulate: bool, interpret: bool,
+    tile_width: int | None = None,
+):
+    """Column-tiled vertical sweep; exact drop-in for _sweep_vertical at
+    widths whose full-width blocks exceed VMEM."""
+    H, W, D = C.shape
+    WT = tile_width or _tiled_width(W, D)
+    Hp = -(-H // HB) * HB
+    Wp = -(-W // WT) * WT
+    if Hp != H or Wp != W:
+        # Zero-cost padding keeps carries exactly zero (see module note).
+        C = jnp.pad(C, ((0, Hp - H), (0, Wp - W), (0, 0)))
+        S = jnp.pad(S, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    nh = Hp // HB
+    nw = Wp // WT
+    nhalo = WT // HB  # halo index units (blocks of HB columns)
+    if reverse:
+        row = lambda i: nh - 1 - i
+    else:
+        row = lambda i: i
+    main = pl.BlockSpec((HB, WT, D), lambda i, j: (row(i), j, 0),
+                        memory_space=pltpu.VMEM)
+    lhalo = pl.BlockSpec(
+        (HB, HB, D),
+        lambda i, j: (row(i), jnp.maximum(j * nhalo - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    rhalo = pl.BlockSpec(
+        (HB, HB, D),
+        lambda i, j: (row(i), jnp.minimum((j + 1) * nhalo, Wp // HB - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _vertical_tiled_kernel, p1=p1, p2=p2, accumulate=accumulate,
+        reverse=reverse, WT=WT, nw=nw,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nh, nw),
+        in_specs=[main, lhalo, rhalo, main],
+        out_specs=main,
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Wp + 2 * HB, D), jnp.float32)] * 3
+        + [pltpu.VMEM((HB, D), jnp.float32)],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(C, C, C, S)
+    return out[:H, :W] if (Hp != H or Wp != W) else out
 
 
 COLS = 16 # columns per horizontal grid step (TPU sublane granularity)
@@ -241,6 +400,20 @@ def _sweep_vertical(C, S, p1, p2, reverse: bool, accumulate: bool, interpret: bo
     return out[:H] if Hp != H else out
 
 
+def _h_max_tile(D: int, bytes_per_elem: int = 10, budget: int = 11_000_000) -> int:
+    """Row-tile cap for the horizontal sweeps: double-buffered
+    (Ht, COLS, D) blocks (C int16 + S f32 in + S f32 out) within budget.
+
+    Above D=128 the byte model underestimates Mosaic's working set (the
+    16-column unroll keeps several multi-vreg (Ht, D) temporaries live):
+    measured on v5e at D=256, Ht=120 crashes the compiler while Ht=48
+    compiles and runs — hence the empirical D>128 cap."""
+    if D > 128:
+        return max(8, 12288 // D // 8 * 8)
+    t = budget // (COLS * max(D, 128) * bytes_per_elem * 2)
+    return max(8, min(256, t // 8 * 8))
+
+
 def _sweep_horizontal(C, S, p1, p2, reverse: bool, interpret: bool):
     H, W, D = C.shape
     # Pad W to a multiple of COLS with zero-cost columns. A zero-cost run
@@ -252,7 +425,7 @@ def _sweep_horizontal(C, S, p1, p2, reverse: bool, interpret: bool):
         C = jnp.pad(C, ((0, Hp - H), (0, Wp - W), (0, 0)))
         S = jnp.pad(S, ((0, Hp - H), (0, Wp - W), (0, 0)))
     nb = Wp // COLS
-    Ht = _row_tile(Hp)
+    Ht = _row_tile(Hp, _h_max_tile(D))
     nh = Hp // Ht
     if reverse:
         index_map = lambda i, j: (i, nb - 1 - j, 0)
@@ -287,7 +460,7 @@ def _sweep_horizontal_wta(
     nb = Wp // COLS
     # Smaller row tile than the plain sweep: the fused WTA reductions keep
     # several (Ht, D) intermediates live per unrolled column.
-    Ht = _row_tile(Hp, max_tile=96)
+    Ht = _row_tile(Hp, min(96, _h_max_tile(D)))
     nh = Hp // Ht
     index_map = lambda i, j: (i, nb - 1 - j, 0)
     spec = pl.BlockSpec((Ht, COLS, D), index_map, memory_space=pltpu.VMEM)
@@ -334,29 +507,30 @@ def sgm_wta_pallas(
         C = C.astype(jnp.int32)
     p1 = float(p1)
     p2 = float(p2)
-    H, W, D = C.shape
-    vert_vmem = W * D * 32
-    if vert_vmem < 13_000_000 or interpret:
-        S = _sweep_vertical(C, jnp.zeros(C.shape, jnp.float32), p1, p2,
-                            reverse=False, accumulate=False, interpret=interpret)
-        if num_directions == 8:
-            S = _sweep_vertical(C, S, p1, p2, reverse=True, accumulate=True,
-                                interpret=interpret)
-    else:
-        from stereo_reconstruction_cv_tpu.ops import disparity as _dp
-
-        dirs = [(1, 1), (0, 1), (-1, 1)]
-        if num_directions == 8:
-            dirs += [(-1, -1), (0, -1), (1, -1)]
-        C32 = C.astype(jnp.int32)
-        S = jnp.zeros(C.shape, jnp.int32)
-        for dx, dy in dirs:
-            S = S + _dp._scan_dir(C32, dx, dy, int(p1), int(p2), None, 32)
-        S = S.astype(jnp.float32)
+    S = _vertical_directions(C, p1, p2, num_directions, interpret)
     S = _sweep_horizontal(C, S, p1, p2, reverse=False, interpret=interpret)
     return _sweep_horizontal_wta(
         C, S, p1, p2, uniqueness_ratio, min_disp, interpret=interpret
     )
+
+
+def _vertical_directions(C, p1, p2, num_directions, interpret):
+    """Vertical {U, UL, UR} (+ reverse triple for 8 directions): full-width
+    kernel when the streamed blocks fit VMEM, column-tiled otherwise (the
+    two are bit-exact).
+
+    Gate calibrated on hardware (lane-padded element counts, see
+    _lane_elems): 147k compiles at rows=2, 229k at rows=1, 238k OOMs at
+    rows=2 — so full-width up to 220k, column-tiled beyond."""
+    H, W, D = C.shape
+    full_width_ok = _lane_elems(W, D) <= 220_000 or interpret
+    sweep = _sweep_vertical if full_width_ok else _sweep_vertical_tiled
+    S = sweep(C, jnp.zeros(C.shape, jnp.float32), p1, p2,
+              reverse=False, accumulate=False, interpret=interpret)
+    if num_directions == 8:
+        S = sweep(C, S, p1, p2, reverse=True, accumulate=True,
+                  interpret=interpret)
+    return S
 
 
 def sgm_aggregate_pallas(
@@ -375,31 +549,7 @@ def sgm_aggregate_pallas(
         C = C.astype(jnp.int32)
     p1 = float(p1)
     p2 = float(p2)
-    H, W, D = C.shape
-    # The vertical sweep holds full-width blocks + 3 (W, D) carries in
-    # VMEM; above ~2 MPix-row widths (e.g. 4K x 256) that exceeds the 16MB
-    # scoped budget, so those directions fall back to the exact XLA scans
-    # (row-tiled callers — sgbm_disparity_tiled / the 'space' sharding —
-    # keep H small, but W stays full).
-    # rows=1 blocks: (2 Cin + 4 S) buffers * 4B + 3 carries * 4B ~ 32*W*D.
-    vert_vmem = W * D * 32
-    if vert_vmem < 13_000_000 or interpret:
-        S = _sweep_vertical(C, jnp.zeros(C.shape, jnp.float32), p1, p2,
-                            reverse=False, accumulate=False, interpret=interpret)
-        if num_directions == 8:
-            S = _sweep_vertical(C, S, p1, p2, reverse=True, accumulate=True,
-                                interpret=interpret)
-    else:
-        from stereo_reconstruction_cv_tpu.ops import disparity as _dp
-
-        dirs = [(1, 1), (0, 1), (-1, 1)]
-        if num_directions == 8:
-            dirs += [(-1, -1), (0, -1), (1, -1)]
-        C32 = C.astype(jnp.int32)
-        S = jnp.zeros(C.shape, jnp.int32)
-        for dx, dy in dirs:
-            S = S + _dp._scan_dir(C32, dx, dy, int(p1), int(p2), None, 32)
-        S = S.astype(jnp.float32)
+    S = _vertical_directions(C, p1, p2, num_directions, interpret)
     S = _sweep_horizontal(C, S, p1, p2, reverse=False, interpret=interpret)
     S = _sweep_horizontal(C, S, p1, p2, reverse=True, interpret=interpret)
     # All values are integers below 2^24 — the cast back is exact.

@@ -26,9 +26,9 @@ def _planes(rng, H, W):
     "H,W,D,mind",
     [
         (24, 200, 32, 0),      # single strip, small D
-        (40, 360, 64, 0),      # strip boundary crosses Wc
-        (24, 600, 128, 0),     # two strips
-        (24, 300, 32, 16),     # nonzero min_disparity
+        pytest.param(40, 360, 64, 0, marks=pytest.mark.slow),   # strip boundary crosses Wc
+        pytest.param(24, 600, 128, 0, marks=pytest.mark.slow),  # two strips
+        pytest.param(24, 300, 32, 16, marks=pytest.mark.slow),  # nonzero min_disparity
     ],
 )
 def test_cost_volume_pallas_bitexact(rng, H, W, D, mind):

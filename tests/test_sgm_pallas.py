@@ -6,13 +6,34 @@ import pytest
 
 from stereo_reconstruction_cv_tpu.ops import disparity as DP
 from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import (
+    _sweep_vertical,
+    _sweep_vertical_tiled,
     sgm_aggregate_pallas,
     sgm_wta_pallas,
 )
 
 
-@pytest.mark.parametrize("ndirs", [5, 8])
-@pytest.mark.parametrize("shape", [(24, 32, 16), (30, 41, 16)])  # incl. unpadded
+@pytest.mark.parametrize("reverse,accumulate", [(False, False), (True, True)])
+@pytest.mark.parametrize("shape", [(24, 64, 16), pytest.param((27, 57, 16), marks=pytest.mark.slow)])  # incl. unpadded
+def test_column_tiled_vertical_bitexact(rng, shape, reverse, accumulate):
+    """The column-tiled vertical sweep (the 4K path) == the full-width one,
+    including diagonal carries crossing the forced 16-column tiles."""
+    C = jnp.asarray(rng.integers(0, 20000, size=shape), dtype=jnp.int16)
+    S0 = jnp.asarray(
+        rng.integers(0, 50000, size=shape) if accumulate else np.zeros(shape),
+        dtype=jnp.float32,
+    )
+    p1, p2 = 2904.0, 11616.0
+    ref = _sweep_vertical(C, S0, p1, p2, reverse=reverse,
+                          accumulate=accumulate, interpret=True)
+    out = _sweep_vertical_tiled(C, S0, p1, p2, reverse=reverse,
+                                accumulate=accumulate, interpret=True,
+                                tile_width=16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("ndirs", [pytest.param(5, marks=pytest.mark.slow), 8])
+@pytest.mark.parametrize("shape", [(24, 32, 16), pytest.param((30, 41, 16), marks=pytest.mark.slow)])  # incl. unpadded
 def test_bitexact_vs_xla(rng, ndirs, shape):
     C = jnp.asarray(rng.integers(0, 20000, size=shape), dtype=jnp.int32)
     p1, p2 = 2904, 11616
@@ -22,8 +43,8 @@ def test_bitexact_vs_xla(rng, ndirs, shape):
     assert jnp.array_equal(ref, out), int(jnp.abs(ref - out).max())
 
 
-@pytest.mark.parametrize("ndirs", [5, 8])
-@pytest.mark.parametrize("shape", [(24, 32, 16), (30, 41, 16)])
+@pytest.mark.parametrize("ndirs", [pytest.param(5, marks=pytest.mark.slow), 8])
+@pytest.mark.parametrize("shape", [(24, 32, 16), pytest.param((30, 41, 16), marks=pytest.mark.slow)])
 def test_wta_fused_matches_xla(rng, ndirs, shape):
     """sgm_wta_pallas == wta_disparity(sgm_aggregate(...)) + lr maps."""
     C = jnp.asarray(rng.integers(0, 20000, size=shape), dtype=jnp.int32)
