@@ -375,6 +375,38 @@ def lr_check_maps(
     return check(d_floor) | check(d_ceil)
 
 
+def speckle_filter_exact(
+    disp: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_speckle_size: int = 100,
+    max_diff: float = 32.0,
+) -> jnp.ndarray:
+    """Exact cv2.filterSpeckles parity under jit: lowers the union-find
+    connected-component filter (native/speckle.cc, pure-Python fallback)
+    through jax.pure_callback. 100% mask agreement with OpenCV (tested on
+    d2 and 4K frames); costs one host round-trip of two (H, W) maps.
+
+    NOTE: some PJRT transports (the axon remote-TPU relay) do not support
+    host callbacks; there `sgbm_disparity_host_speckle` applies the same
+    exact filter as a host post-pass on the fetched maps instead."""
+    import numpy as np
+
+    from stereo_reconstruction_cv_tpu import native
+
+    def host(d, v):
+        return native.filter_speckles(
+            np.asarray(d), np.asarray(v), int(max_speckle_size), float(max_diff)
+        )
+
+    return jax.pure_callback(
+        host,
+        jax.ShapeDtypeStruct(disp.shape, jnp.bool_),
+        disp.astype(jnp.float32),
+        valid,
+        vmap_method="sequential",
+    )
+
+
 def speckle_filter(
     disp: jnp.ndarray,
     valid: jnp.ndarray,
@@ -516,10 +548,44 @@ def sgbm_disparity(
     disp = jnp.pad(disp, ((0, 0), (x0, 0)), constant_values=float(cfg.min_disparity - 1))
     valid = jnp.pad(valid, ((0, 0), (x0, 0)), constant_values=False)
     if cfg.speckle_window_size > 0:
-        valid = speckle_filter(
+        valid = _speckle(disp, valid, cfg)
+    return disp, valid
+
+
+def _speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: SGBMConfig) -> jnp.ndarray:
+    if cfg.speckle_backend == "exact":
+        return speckle_filter_exact(
             disp, valid, cfg.speckle_window_size, float(cfg.speckle_range)
         )
-    return disp, valid
+    return speckle_filter(
+        disp, valid, cfg.speckle_window_size, float(cfg.speckle_range)
+    )
+
+
+def _fits_whole_frame(H: int, W: int, cfg: SGBMConfig) -> bool:
+    """Whether one frame's SGBM fits HBM without row tiling.
+
+    Pallas backend: C is int16 (2 B/cell) and every sweep aliases S in
+    place (4 B/cell), so peak residency ~6 B/cell + WTA outputs — 4K x 256
+    (2.1 G cells ~ 12.7 GB) fits a 16 GB v5e and runs 2.6x faster than the
+    5-tile halo loop (measured 512 vs 1330 ms). XLA scan backend
+    materializes int32 C and S (plus scan temporaries), so it keeps the
+    conservative 4e8-cell bound."""
+    cells = H * W * cfg.num_disparities
+    use_pallas = cfg.backend == "pallas" or (
+        cfg.backend == "auto" and jax.default_backend() == "tpu"
+    )
+    return cells <= (24 * 10**8 if use_pallas else 4 * 10**8)
+
+
+def sgbm_disparity_auto(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: SGBMConfig, tile_rows: int = 512
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """sgbm_disparity, row-tiled only when the frame cannot fit HBM."""
+    H, W = left.shape
+    if _fits_whole_frame(H, W, cfg):
+        return sgbm_disparity(left, right, cfg)
+    return sgbm_disparity_tiled(left, right, cfg, tile_rows=tile_rows)
 
 
 def sgbm_disparity_tiled(
@@ -549,27 +615,56 @@ def sgbm_disparity_tiled(
     disp = jnp.concatenate(disp_parts, axis=0)
     valid = jnp.concatenate(valid_parts, axis=0)
     if cfg.speckle_window_size > 0:
-        valid = speckle_filter(
+        valid = _speckle(disp, valid, cfg)
+    return disp, valid
+
+
+def sgbm_disparity_host_speckle(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: SGBMConfig
+):
+    """SGBM with the exact union-find speckle filter applied host-side.
+
+    The device computes everything up to (and excluding) the speckle pass;
+    the fetched maps get the exact cv2.filterSpeckles-parity filter
+    (native/speckle.cc). Use when the maps are coming to host anyway (PLY
+    export, visualization) or when the PJRT transport lacks host-callback
+    support. Returns numpy (disp, valid)."""
+    import numpy as np
+
+    from stereo_reconstruction_cv_tpu import native
+
+    core = cfg.with_(speckle_window_size=0)
+    disp, valid = sgbm_disparity_auto(left, right, core)
+    disp = np.asarray(disp)
+    valid = np.asarray(valid)
+    if cfg.speckle_window_size > 0:
+        valid = native.filter_speckles(
             disp, valid, cfg.speckle_window_size, float(cfg.speckle_range)
         )
     return disp, valid
 
 
 def compute_disparity_map(
-    imgL: jnp.ndarray, imgR: jnp.ndarray, ndisp: int = 16, mindis: int = 0
+    imgL: jnp.ndarray, imgR: jnp.ndarray, ndisp: int = 16, mindis: int = 0,
+    speckle_backend: str = "exact",
 ) -> jnp.ndarray:
     """Reference-parity wrapper (main.ipynb cell 10): StereoSGBM with the
-    notebook's exact parameters, /16 float output, non-positive zeroed."""
+    notebook's exact parameters, /16 float output, non-positive zeroed.
+
+    speckle_backend='exact' (default) applies the union-find filter on the
+    host after the device pipeline — exact cv2 semantics, and free in this
+    wrapper since the result is fetched anyway. 'propagate' keeps the
+    whole pipeline on device."""
     cfg = SGBMConfig(min_disparity=mindis, num_disparities=ndisp, num_directions=5)
     if imgL.ndim == 3:  # reference feeds BGR; SGBM cost uses the gray plane
         imgL = rgb_to_gray_u8(imgL)
         imgR = rgb_to_gray_u8(imgR)
-    # Large frames (4K x 128+) exceed HBM as one volume — row-tile them.
-    H, W = imgL.shape
-    if H * W * ndisp > 4 * 10**8:
-        disp, valid = sgbm_disparity_tiled(imgL, imgR, cfg, tile_rows=512)
+    if speckle_backend == "exact":
+        disp, valid = sgbm_disparity_host_speckle(imgL, imgR, cfg)
+        disp = jnp.asarray(disp)
+        valid = jnp.asarray(valid)
     else:
-        disp, valid = sgbm_disparity(imgL, imgR, cfg)
+        disp, valid = sgbm_disparity_auto(imgL, imgR, cfg)
     disp = jnp.where(valid, disp, float(mindis) - 1.0)
     return jnp.where(disp > 0, disp, 0.0)
 
