@@ -256,7 +256,15 @@ def remap_bilinear(img: jnp.ndarray, src_map: jnp.ndarray) -> jnp.ndarray:
     """Bilinear resample (cv2.remap INTER_LINEAR, BORDER_CONSTANT=0).
 
     img (H, W) or (H, W, C); map (Ho, Wo, 2) of source (x, y). Out-of-range
-    samples are 0, matching cv2's default border."""
+    samples are 0, matching cv2's default border.
+
+    uint8 single-plane images take the packed-gather fast path: the 2x2
+    bilinear neighborhood is packed into one uint32 per source pixel
+    (zero-padded one-ring), so the resample is ONE gather instead of four —
+    TPU gathers dominate remap cost (measured 4K: 95 ms/gather), so this
+    is ~4x. Other dtypes use the generic four-tap path below."""
+    if img.dtype == jnp.uint8 and img.ndim == 2:
+        return _remap_bilinear_packed_u8(img, src_map)
     H, W = img.shape[:2]
     x = src_map[..., 0]
     y = src_map[..., 1]
@@ -291,6 +299,49 @@ def remap_bilinear(img: jnp.ndarray, src_map: jnp.ndarray) -> jnp.ndarray:
     if jnp.issubdtype(img.dtype, jnp.integer):
         return jnp.round(acc).astype(img.dtype)
     return acc.astype(img.dtype)
+
+
+def _remap_bilinear_packed_u8(img: jnp.ndarray, src_map: jnp.ndarray) -> jnp.ndarray:
+    """One-gather bilinear resample for (H, W) uint8.
+
+    P = img zero-padded by one ring; Q[i, j] packs the 2x2 block
+    P[i:i+2, j:j+2] into a uint32. For base tap (x0, y0), Q[y0+1, x0+1]
+    holds all four taps with cv2's BORDER_CONSTANT=0 already applied by
+    the padding; bases outside [-1, W-1] x [-1, H-1] have all taps
+    out-of-range and are masked to 0 wholesale. Bit-identical to the
+    generic four-tap path (tests/test_rectify.py)."""
+    H, W = img.shape
+    P = jnp.pad(img.astype(jnp.uint32), 1)
+    Q = (
+        P[:-1, :-1]
+        | (P[:-1, 1:] << 8)
+        | (P[1:, :-1] << 16)
+        | (P[1:, 1:] << 24)
+    )  # (H+1, W+1)
+    x = src_map[..., 0]
+    y = src_map[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    allin = (x0i >= -1) & (x0i <= W - 1) & (y0i >= -1) & (y0i <= H - 1)
+    qx = jnp.clip(x0i + 1, 0, W)
+    qy = jnp.clip(y0i + 1, 0, H)
+    packed = jnp.take(Q.ravel(), qy * (W + 1) + qx)
+    t00 = (packed & 0xFF).astype(jnp.float32)
+    t10 = ((packed >> 8) & 0xFF).astype(jnp.float32)
+    t01 = ((packed >> 16) & 0xFF).astype(jnp.float32)
+    t11 = ((packed >> 24) & 0xFF).astype(jnp.float32)
+    acc = (
+        t00 * (1 - fx) * (1 - fy)
+        + t10 * fx * (1 - fy)
+        + t01 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+    acc = jnp.where(allin, acc, 0.0)
+    return jnp.round(acc).astype(jnp.uint8)
 
 
 def rectify_remap(

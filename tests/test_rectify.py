@@ -76,6 +76,7 @@ class TestStereoRectify:
         assert_rectify_matches_cv2(K_REF, None, K_REF, None, (1920, 1080), R, T, 0.7)
 
 
+@pytest.mark.slow
 class TestRemap:
     def test_map_matches_cv2(self):
         R1, _, P1, _, _, _, _ = cv2.stereoRectify(
@@ -121,3 +122,17 @@ class TestRemap:
         )
         close = np.abs(ours.astype(int) - ref.astype(int)) <= 1
         assert close.mean() > 0.995
+
+
+class TestPackedRemap:
+    def test_packed_u8_equals_generic(self, rng):
+        """The one-gather packed-uint32 fast path is bit-identical to the
+        generic four-tap path, including all border cases."""
+        img = rng.integers(0, 255, size=(50, 64)).astype(np.uint8)
+        mx = rng.uniform(-8, 72, size=(40, 48)).astype(np.float32)
+        my = rng.uniform(-8, 58, size=(40, 48)).astype(np.float32)
+        m = jnp.stack([jnp.asarray(mx), jnp.asarray(my)], axis=-1)
+        fast = np.asarray(RC._remap_bilinear_packed_u8(jnp.asarray(img), m))
+        # uint16 input routes to the generic path with identical values.
+        gen = np.asarray(RC.remap_bilinear(jnp.asarray(img).astype(jnp.uint16), m))
+        np.testing.assert_array_equal(fast.astype(np.int32), gen.astype(np.int32))
