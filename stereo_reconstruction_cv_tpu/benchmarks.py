@@ -1,0 +1,486 @@
+"""Benchmark suite: all five BASELINE.json configs (VERDICT r1 item 4).
+
+Emits ONE JSON line per config:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The headline metric (config 2: 720p full 8-path SGBM at 128 disparities,
+same metric name since round 1) prints LAST so harnesses that parse only
+the final stdout line track the round-over-round number; the other configs
+print before it. `vs_baseline` is the speedup over the reference's own
+engine (OpenCV, same parameters) measured on this host's CPU.
+
+Configs (BASELINE.json:6-12):
+  1. 720p SAD block-match cost + WTA, 64 disparities     [sad_wta_720p_64disp]
+  2. 720p full SGBM 8-path + L-R check, 128 disparities  [sgbm_disparity_720p_128disp]
+  3. calibrated rectify+SGBM+reproject e2e, 4K x 256     [e2e_4k_pair_to_cloud]
+  4. sparse learned match + batched triangulation d1-d3  [sparse_match_triangulate]
+  5. 8-pair 4K batch SGBM + cloud emit, prefetch pipeline [streaming_8pair_4k]
+
+Device-time convention: jitted steps end in an on-device scalar reduction
+that is fetched per iteration — through the dev environment's remote-TPU
+relay, `block_until_ready` alone does not force execution, and fetching
+full 4K arrays costs seconds of relay (not production) transfer time
+(parallel/streaming.py note). Production deployments stream outputs over
+PCIe; the relay fetch is excluded from the timed region by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REF_DATA = "/root/reference/dataset"
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+# Reference calibration anchors (main.ipynb cell 1 executed output) used to
+# build the calibrated-Q path for the dense benchmarks.
+_K_4K = np.array(
+    [[2253.71, 0.0, 1929.69], [0.0, 2244.72, 1057.63], [0.0, 0.0, 1.0]],
+    dtype=np.float64,
+)
+_BASELINE_M = 0.140  # dataset/d3/baseline.txt
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    return jax
+
+
+def _timed_device_loop(step, args, iters: int) -> float:
+    """Per-iteration device time of `step(*args) -> scalar`.
+
+    Dispatches `iters` independent executions asynchronously and blocks on
+    all results once at the end. The remote-TPU relay here costs ~25 ms
+    per host round-trip — per-call scalar fetches would charge that to
+    every frame, which production (direct PCIe-attached host) does not
+    pay; async dispatch pipelines it away, and the measured number matches
+    an on-device unrolled chain of dependent steps to ~5% (verified on
+    v5e: 35.0 vs 37.0 ms/frame for config 2). Each step still ends in an
+    on-device reduction whose value is fetched, forcing real execution
+    (block_until_ready alone does not, through this relay)."""
+    import jax
+
+    fn = jax.jit(step)
+    float(np.asarray(fn(*args)))  # compile + warm
+    float(np.asarray(fn(*args)))
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    for o in outs:
+        float(np.asarray(o))
+    return (time.perf_counter() - t0) / iters
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def _load_pair(name: str, size=None, gray=True):
+    """Load a bundled stereo pair (synthetic-shift fallback off-grid)."""
+    try:
+        import cv2
+
+        flag = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
+        imL = cv2.imread(os.path.join(_REF_DATA, name, "img1.jpg"), flag)
+        imR = cv2.imread(os.path.join(_REF_DATA, name, "img2.jpg"), flag)
+        if size is not None:
+            imL = cv2.resize(imL, size)
+            imR = cv2.resize(imR, size)
+        return imL, imR
+    except Exception:
+        w, h = size or (1280, 720)
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 255, size=(h, w + 32)).astype(np.float32)
+        return base[:, 32:].astype(np.uint8), base[:, :-32].astype(np.uint8)
+
+
+def _rectified_geometry(image_size, num_disparities: int):
+    """Calibrated rectification geometry for a pair shot with the bundled
+    Logitech rig: K from the calibration anchor (scaled to `image_size`),
+    near-identity relative pose, 140 mm baseline."""
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_cv_tpu.ops import rectify as RC
+
+    W, H = image_size
+    s = W / 3840.0
+    K = _K_4K.copy()
+    K[:2] *= s
+    R = np.eye(3)
+    T = np.array([-_BASELINE_M, 0.0, 0.0])
+    res = RC.stereo_rectify(
+        jnp.asarray(K), None, jnp.asarray(K), None, (W, H),
+        jnp.asarray(R), jnp.asarray(T), alpha=0.0,
+    )
+    return K, res
+
+
+# ---------------------------------------------------------------------------
+# Config 1: 720p SAD block-match + WTA, 64 disparities
+# ---------------------------------------------------------------------------
+
+def bench_config1(iters=8):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_cv_tpu.ops import disparity as DP
+
+    imL, imR = _load_pair("d2", (1280, 720))
+    D, block = 64, 11
+
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
+    if on_tpu:
+        from stereo_reconstruction_cv_tpu.ops.pallas.cost_pallas import (
+            cost_volume_pallas,
+        )
+
+    def step(l, r):
+        sl = DP.xsobel_clip(l, 63)
+        sr = DP.xsobel_clip(r, 63)
+        rl, rr = l.astype(jnp.int32), r.astype(jnp.int32)
+        if on_tpu:  # fused BT cost + 11x11 block sum in one Pallas pass
+            C = cost_volume_pallas(sl, sr, rl, rr, D, 0)
+        else:
+            C = DP.block_sum(DP.bt_cost_volume(sl, sr, rl, rr, D, 0)[:, D:, :], block)
+        disp, valid = DP.wta_disparity(C, 0, 0)
+        return jnp.sum(jnp.where(valid, disp, 0.0))
+
+    dt = _timed_device_loop(step, (jnp.asarray(imL), jnp.asarray(imR)), iters)
+    mpix = imL.shape[0] * imL.shape[1] / 1e6
+
+    dt_cv = None
+    try:
+        import cv2
+
+        bm = cv2.StereoBM_create(numDisparities=D, blockSize=block)
+        bm.compute(imL, imR)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            bm.compute(imL, imR)
+        dt_cv = (time.perf_counter() - t0) / 3
+    except Exception:
+        pass
+    return {
+        "metric": "sad_wta_720p_64disp",
+        "value": round(mpix / dt, 3),
+        "unit": "MPix/s",
+        "vs_baseline": round(dt_cv / dt, 3) if dt_cv else None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Config 2 (headline): 720p full 8-path SGBM + L-R check, 128 disparities
+# ---------------------------------------------------------------------------
+
+def bench_config2(iters=5):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_cv_tpu.config import SGBMConfig
+    from stereo_reconstruction_cv_tpu.ops.disparity import sgbm_disparity
+
+    imL, imR = _load_pair("d2", (1280, 720))
+    cfg = SGBMConfig(num_disparities=128, num_directions=8)
+
+    def step(l, r):
+        return jnp.sum(sgbm_disparity(l, r, cfg)[0])
+
+    dt = _timed_device_loop(step, (jnp.asarray(imL), jnp.asarray(imR)), iters)
+    mpix = imL.shape[0] * imL.shape[1] / 1e6
+
+    dt_cv = None
+    try:
+        import cv2
+
+        p1 = 8 * 3 * 11 * 11
+        m = cv2.StereoSGBM_create(
+            minDisparity=0, numDisparities=128, blockSize=11,
+            P1=p1, P2=4 * p1, disp12MaxDiff=1, preFilterCap=63,
+            uniquenessRatio=10, speckleWindowSize=100, speckleRange=32,
+            mode=cv2.STEREO_SGBM_MODE_HH,
+        )
+        m.compute(imL, imR)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            m.compute(imL, imR)
+        dt_cv = (time.perf_counter() - t0) / 3
+    except Exception:
+        pass
+    return {
+        "metric": "sgbm_disparity_720p_128disp",
+        "value": round(mpix / dt, 3),
+        "unit": "MPix/s",
+        "vs_baseline": round(dt_cv / dt, 3) if dt_cv else None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Config 3: calibrated rectify + SGBM + 3D reprojection, 4K x 256 disparities
+# ---------------------------------------------------------------------------
+
+def bench_config3(iters=2):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_cv_tpu.config import SGBMConfig
+    from stereo_reconstruction_cv_tpu.ops import disparity as DP
+    from stereo_reconstruction_cv_tpu.ops import geometry as G
+    from stereo_reconstruction_cv_tpu.ops import rectify as RC
+
+    imL, imR = _load_pair("d1")
+    H, W = imL.shape
+    K, geo = _rectified_geometry((W, H), 256)
+    cfg = SGBMConfig(num_disparities=256, num_directions=8)
+    core = cfg.with_(speckle_window_size=0)
+    Kj = jnp.asarray(K, jnp.float32)
+    Q = jnp.asarray(geo.Q, jnp.float32)
+
+    rect = jax.jit(
+        lambda a, b: (
+            RC.rectify_remap(a, Kj, None, jnp.asarray(geo.R1, jnp.float32),
+                             jnp.asarray(geo.P1, jnp.float32)),
+            RC.rectify_remap(b, Kj, None, jnp.asarray(geo.R2, jnp.float32),
+                             jnp.asarray(geo.P2, jnp.float32)),
+        )
+    )
+    sgbm = jax.jit(lambda a, b: DP.sgbm_disparity_auto(a, b, core))
+    finish = jax.jit(
+        lambda d, v: jnp.sum(
+            jnp.where(
+                DP.speckle_filter(d, v, cfg.speckle_window_size,
+                                  float(cfg.speckle_range))[..., None],
+                G.reproject_image_to_3d(d, Q), 0.0,
+            )
+        )
+    )
+
+    def e2e(l, r):
+        rl, rr = rect(l, r)
+        d, v = sgbm(rl.astype(jnp.uint8), rr.astype(jnp.uint8))
+        return finish(d, v)
+
+    l, r = jnp.asarray(imL), jnp.asarray(imR)
+    float(np.asarray(e2e(l, r)))  # compile
+    float(np.asarray(e2e(l, r)))
+    t0 = time.perf_counter()
+    outs = [e2e(l, r) for _ in range(iters)]
+    for o in outs:
+        float(np.asarray(o))
+    dt = (time.perf_counter() - t0) / iters
+    mpix = H * W / 1e6
+
+    # Primary-metric companion: raw 4K SGBM MPix/s at 128 disparities
+    # (BASELINE.json metric line: "disparity MPix/s at 720p/4K (128 disp)").
+    cfg128 = cfg.with_(num_disparities=128, speckle_window_size=0)
+    dt128 = _timed_device_loop(
+        lambda a, b: jnp.sum(DP.sgbm_disparity_auto(a, b, cfg128)[0]), (l, r), 3
+    )
+
+    dt_cv = None
+    try:
+        import cv2
+
+        R1, R2, P1, P2, Qc, _, _ = cv2.stereoRectify(
+            K, None, K, None, (W, H), np.eye(3),
+            np.array([[-_BASELINE_M], [0.0], [0.0]]), alpha=0.0,
+        )
+        m1 = cv2.initUndistortRectifyMap(K, None, R1, P1, (W, H), cv2.CV_32FC1)
+        m2 = cv2.initUndistortRectifyMap(K, None, R2, P2, (W, H), cv2.CV_32FC1)
+        p1 = 8 * 3 * 11 * 11
+        m = cv2.StereoSGBM_create(
+            minDisparity=0, numDisparities=256, blockSize=11,
+            P1=p1, P2=4 * p1, disp12MaxDiff=1, preFilterCap=63,
+            uniquenessRatio=10, speckleWindowSize=100, speckleRange=32,
+            mode=cv2.STEREO_SGBM_MODE_HH,
+        )
+        t0 = time.perf_counter()
+        rl = cv2.remap(imL, m1[0], m1[1], cv2.INTER_LINEAR)
+        rr = cv2.remap(imR, m2[0], m2[1], cv2.INTER_LINEAR)
+        d = m.compute(rl, rr).astype(np.float32) / 16.0
+        cv2.reprojectImageTo3D(d, Qc)
+        dt_cv = time.perf_counter() - t0
+    except Exception:
+        pass
+    return [
+        {
+            "metric": "sgbm_disparity_4k_128disp",
+            "value": round(mpix / dt128, 3),
+            "unit": "MPix/s",
+            "vs_baseline": None,
+        },
+        {
+            "metric": "e2e_4k_pair_to_cloud",
+            "value": round(dt, 4),
+            "unit": "s/pair",
+            "fps": round(1.0 / dt, 3),
+            "mpix_per_s": round(mpix / dt, 3),
+            "vs_baseline": round(dt_cv / dt, 3) if dt_cv else None,
+        },
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Config 4: sparse learned match + batched triangulation on dataset/d1-d3
+# ---------------------------------------------------------------------------
+
+def bench_config4(iters=5):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_cv_tpu.models import xfeat as XF
+    from stereo_reconstruction_cv_tpu.ops import geometry as G
+    from stereo_reconstruction_cv_tpu.ops import matching as MT
+
+    size = (960, 536)  # multiple-of-8 working resolution for the net
+    pairs = [_load_pair(d, size) for d in ("d1", "d2", "d3")]
+
+    model = XF.XFeatNet()
+    ckpt = os.path.join(_REPO_ROOT, "checkpoints", "xfeat_v0")
+    state, _ = XF.create_train_state(jax.random.PRNGKey(0), model, (size[1], size[0]))
+    params = state.params
+    if os.path.isdir(ckpt):
+        from stereo_reconstruction_cv_tpu.models import checkpoint as CK
+
+        params = CK.load_params(ckpt, like=params)
+
+    K, geo = _rectified_geometry(size, 0)
+    P1 = jnp.asarray(geo.P1, jnp.float32)
+    P2 = jnp.asarray(geo.P2, jnp.float32)
+    maxk = 1024
+
+    def step(l, r):
+        f1 = XF.detect(params, model, l, maxk)
+        f2 = XF.detect(params, model, r, maxk)
+        res = MT.knn2_match(f1.descriptors, f2.descriptors, ratio=0.75)
+        p1, p2, w = MT.gather_correspondences(f1.keypoints, f2.keypoints, res)
+        pts = G.triangulate_points(P1, P2, p1, p2)
+        return jnp.sum(jnp.where(w[:, None], pts, 0.0))
+
+    dts = [
+        _timed_device_loop(step, (jnp.asarray(l), jnp.asarray(r)), iters)
+        for l, r in pairs
+    ]
+    dt = sum(dts) / len(dts)
+
+    dt_cv = None
+    try:
+        import cv2
+
+        sift = cv2.SIFT_create()
+        flann = cv2.FlannBasedMatcher({"algorithm": 1, "trees": 5}, {"checks": 50})
+        Pn1 = np.asarray(geo.P1, np.float64)
+        Pn2 = np.asarray(geo.P2, np.float64)
+
+        def cv_pair(l, r):
+            k1, d1 = sift.detectAndCompute(l, None)
+            k2, d2 = sift.detectAndCompute(r, None)
+            mm = flann.knnMatch(d1, d2, k=2)
+            good = [m for m, n in mm if m.distance < 0.75 * n.distance]
+            if good:
+                a = np.float64([k1[m.queryIdx].pt for m in good]).T
+                b = np.float64([k2[m.trainIdx].pt for m in good]).T
+                cv2.triangulatePoints(Pn1, Pn2, a, b)
+
+        for l, r in pairs:
+            cv_pair(l, r)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            for l, r in pairs:
+                cv_pair(l, r)
+        dt_cv = (time.perf_counter() - t0) / (2 * len(pairs))
+    except Exception:
+        pass
+    return {
+        "metric": "sparse_match_triangulate",
+        "value": round(dt * 1000, 3),
+        "unit": "ms/pair",
+        "pairs_per_s": round(1.0 / dt, 3),
+        "vs_baseline": round(dt_cv / dt, 3) if dt_cv else None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Config 5: 8-pair 4K batch SGBM + point-cloud emit, pipelined prefetch
+# ---------------------------------------------------------------------------
+
+def bench_config5():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_cv_tpu.config import SGBMConfig
+    from stereo_reconstruction_cv_tpu.ops import disparity as DP
+    from stereo_reconstruction_cv_tpu.ops import geometry as G
+    from stereo_reconstruction_cv_tpu.parallel.prefetch import PrefetchLoader
+
+    # 8 distinct decode events over the two bundled 4K pairs.
+    paths = [
+        (os.path.join(_REF_DATA, d, "img1.jpg"), os.path.join(_REF_DATA, d, "img2.jpg"))
+        for d in ("d1", "d3")
+    ] * 4
+    H, W = 2160, 3840
+    K, geo = _rectified_geometry((W, H), 128)
+    Q = jnp.asarray(geo.Q, jnp.float32)
+    cfg = SGBMConfig(num_disparities=128, num_directions=8, speckle_window_size=0)
+
+    tile = jax.jit(lambda a, b: DP.sgbm_disparity_auto(a, b, cfg))
+    finish = jax.jit(lambda d, v: jnp.sum(jnp.where(v[..., None], G.reproject_image_to_3d(d, Q), 0.0)))
+
+    def pair_step(l, r):
+        d, v = tile(l, r)
+        return finish(d, v)
+
+    # Warm compile on the first pair outside the timed region.
+    warm = PrefetchLoader(paths[:1], batch_size=1, prefetch=1, gray=True)
+    for l, r in warm:
+        float(np.asarray(pair_step(l[0], r[0])))
+
+    loader = PrefetchLoader(paths, batch_size=1, prefetch=2, gray=True)
+    t0 = time.perf_counter()
+    n = 0
+    for l, r in loader:
+        float(np.asarray(pair_step(l[0], r[0])))
+        n += 1
+    dt = (time.perf_counter() - t0) / n
+    mpix = H * W / 1e6
+    return {
+        "metric": "streaming_8pair_4k",
+        "value": round(mpix / dt, 3),
+        "unit": "MPix/s",
+        "pairs_per_s": round(1.0 / dt, 3),
+        "n_pairs": n,
+        "vs_baseline": None,
+    }
+
+
+_CONFIGS = {1: bench_config1, 2: bench_config2, 3: bench_config3,
+            4: bench_config4, 5: bench_config5}
+# Headline (config 2) last so the final stdout line is the primary metric.
+_DEFAULT_ORDER = (1, 4, 5, 3, 2)
+
+
+def main(configs=None) -> int:
+    if configs is None:
+        env = os.environ.get("STEREO_BENCH_CONFIGS")
+        configs = [int(c) for c in env.split(",")] if env else list(_DEFAULT_ORDER)
+    else:
+        configs = [int(c) for c in configs]
+    for c in configs:
+        try:
+            out = _CONFIGS[c]()
+            for obj in out if isinstance(out, list) else [out]:
+                _emit(obj)
+        except Exception as e:  # one config failing must not hide the rest
+            _emit({"metric": f"config{c}", "error": f"{type(e).__name__}: {e}"[:300]})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))

@@ -119,40 +119,24 @@ def cmd_match(args):
 
 
 def cmd_train_features(args):
-    """Self-supervised XFeat-style training on a folder of images."""
-    import glob as globmod
+    """Self-supervised XFeat-style training (random crops + jitter,
+    warmup-cosine schedule — models/xfeat_train.py)."""
+    from stereo_reconstruction_cv_tpu.models import xfeat_train as XT
 
-    import jax
-    import jax.numpy as jnp
-
-    from stereo_reconstruction_cv_tpu.io.image import load_gray
-    from stereo_reconstruction_cv_tpu.models import checkpoint as CK
-    from stereo_reconstruction_cv_tpu.models import xfeat as XF
-
-    files = sorted(globmod.glob(os.path.join(args.folder, "*.jpg")))
-    if not files:
-        print(f"no *.jpg in {args.folder}", file=sys.stderr)
+    folders = args.folder if args.folder else list(XT.DEFAULT_FOLDERS)
+    try:
+        XT.train(
+            folders=folders,
+            steps=args.steps,
+            batch=args.batch,
+            crop=args.size,
+            lr=args.lr,
+            output=args.output,
+            max_images=args.max_images,
+        )
+    except FileNotFoundError as e:
+        print(e, file=sys.stderr)
         return 1
-    H, W = args.size, args.size
-    imgs = []
-    for f in files[: args.max_images]:
-        g = load_gray(f).astype(np.float32)
-        gh, gw = g.shape
-        if gh < H or gw < W:
-            continue
-        imgs.append(g[: H, : W])
-    data = jnp.asarray(np.stack(imgs))
-    model = XF.XFeatNet()
-    state, tx = XF.create_train_state(jax.random.PRNGKey(0), model, (H, W), lr=args.lr)
-    step = jax.jit(lambda s, i, k: XF.train_step(s, tx, model, i, k))
-    key = jax.random.PRNGKey(1)
-    for it in range(args.steps):
-        key, sub = jax.random.split(key)
-        state, loss = step(state, data, sub)
-        if it % 20 == 0:
-            print(f"step {it}: loss {float(loss):.4f}", flush=True)
-    CK.save_params(args.output, state.params)
-    print(f"saved checkpoint to {args.output}")
     return 0
 
 
@@ -174,6 +158,22 @@ def cmd_triangulate(args):
     pts = out["points"][out["valid"]]
     n = write_ply(args.output, pts)
     print(f"triangulated {n} points -> {args.output}")
+    if args.viewer:
+        from stereo_reconstruction_cv_tpu.io.viewer import write_html_viewer
+
+        write_html_viewer(args.viewer, pts)
+        print(f"viewer -> {args.viewer}")
+    return 0
+
+
+def cmd_view(args):
+    """PLY -> standalone interactive HTML viewer (Open3D-window stand-in)."""
+    from stereo_reconstruction_cv_tpu.io.ply import read_ply
+    from stereo_reconstruction_cv_tpu.io.viewer import write_html_viewer
+
+    pts, colors = read_ply(args.cloud)
+    n = write_html_viewer(args.output, pts, colors, max_points=args.max_points)
+    print(f"viewer with {n} points -> {args.output}")
     return 0
 
 
@@ -213,13 +213,18 @@ def cmd_reconstruct(args):
             colors = rgb
     n = stages.export_point_cloud(args.output, pts, disp, colors)
     print(f"wrote {n} points -> {args.output}")
+    if args.viewer:
+        stages.export_point_cloud(args.viewer, pts, disp, colors)
+        print(f"viewer -> {args.viewer}")
     return 0
 
 
 def cmd_bench(args):
-    import subprocess
+    # The benchmark suite lives in the package so the installed console
+    # script works from any directory (repo-root bench.py is a thin shim).
+    from stereo_reconstruction_cv_tpu import benchmarks
 
-    return subprocess.call([sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")])
+    return benchmarks.main(getattr(args, "configs", None) or None)
 
 
 def main(argv=None):
@@ -263,11 +268,13 @@ def main(argv=None):
     m.set_defaults(fn=cmd_match)
 
     tf = sub.add_parser("train-features", help="self-supervised XFeat training")
-    tf.add_argument("folder")
-    tf.add_argument("--steps", type=int, default=200)
-    tf.add_argument("--size", type=int, default=256)
-    tf.add_argument("--lr", type=float, default=1e-3)
-    tf.add_argument("--max-images", type=int, default=16)
+    tf.add_argument("folder", nargs="*",
+                    help="image folders (default: bundled calib + d1-d3)")
+    tf.add_argument("--steps", type=int, default=5000)
+    tf.add_argument("--size", type=int, default=256, help="crop size")
+    tf.add_argument("--batch", type=int, default=16)
+    tf.add_argument("--lr", type=float, default=2e-3)
+    tf.add_argument("--max-images", type=int, default=64)
     tf.add_argument("--output", default="xfeat_ckpt")
     tf.set_defaults(fn=cmd_train_features)
 
@@ -282,6 +289,7 @@ def main(argv=None):
     t.add_argument("--baseline", type=float, default=0.1)
     t.add_argument("--calibration", default=None)
     t.add_argument("--output", default="sparse_cloud.ply")
+    t.add_argument("--viewer", default=None, help="also write an HTML viewer")
     t.set_defaults(fn=cmd_triangulate)
 
     d = sub.add_parser("disparity", help="dense disparity (Tab 6)")
@@ -299,9 +307,18 @@ def main(argv=None):
     rc.add_argument("--ndisp", type=int, default=64)
     rc.add_argument("--mindisp", type=int, default=0)
     rc.add_argument("--output", default="point_cloud.ply")
+    rc.add_argument("--viewer", default=None, help="also write an HTML viewer")
     rc.set_defaults(fn=cmd_reconstruct)
 
-    b = sub.add_parser("bench", help="run the benchmark")
+    v = sub.add_parser("view", help="PLY -> standalone HTML viewer")
+    v.add_argument("cloud")
+    v.add_argument("output", nargs="?", default="cloud_viewer.html")
+    v.add_argument("--max-points", type=int, default=2_000_000)
+    v.set_defaults(fn=cmd_view)
+
+    b = sub.add_parser("bench", help="run the benchmark suite")
+    b.add_argument("configs", nargs="*", type=int,
+                   help="BASELINE config numbers (default: all five)")
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
