@@ -509,7 +509,11 @@ def reconstruct(disparity_map, Q) -> np.ndarray:
 def export_point_cloud(
     path: str, points_3d, disparity_map, colors=None
 ) -> int:
-    """Validity-masked PLY export (cells 12-13): finite & disparity > 0."""
+    """Validity-masked point-cloud export (cells 12-13): finite & disparity > 0.
+
+    Format by extension: .html writes the standalone interactive WebGL
+    viewer (the headless stand-in for the reference's Open3D window,
+    main.ipynb cell 12 +38); anything else writes PLY."""
     pts = jnp.asarray(points_3d)
     d = jnp.asarray(disparity_map)
     mask = np.asarray(G.valid_point_mask(pts, d)).ravel()
@@ -517,6 +521,10 @@ def export_point_cloud(
     c = None
     if colors is not None:
         c = np.asarray(colors).reshape(-1, 3)[mask]
+    if path.endswith(".html"):
+        from stereo_reconstruction_cv_tpu.io import viewer as VW
+
+        return VW.write_html_viewer(path, p, c)
     return PLY.write_ply(path, p, c)
 
 
