@@ -40,6 +40,7 @@ class TestHomography:
         np.testing.assert_allclose(H, H_true, atol=1e-8)
 
 
+@pytest.mark.slow
 class TestZhangInit:
     def test_intrinsics_close_to_truth(self, rng):
         K, dist, obj, imgs, _, _ = synth_views(rng, V=15, noise=0.0)
@@ -61,6 +62,7 @@ class TestZhangInit:
         assert abs(K0[1, 2] - K[1, 2]) < 100
 
 
+@pytest.mark.slow
 class TestCalibrate:
     def test_recovers_truth_noiseless(self, rng):
         K, dist, obj, imgs, _, _ = synth_views(rng, V=12, noise=0.0)

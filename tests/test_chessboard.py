@@ -41,6 +41,7 @@ def render_board(rng, cols=9, rows=7, square=40, margin=60, warp=True):
     return np.clip(img + noise, 0, 255).astype(np.uint8), corners
 
 
+@pytest.mark.slow
 class TestSyntheticBoard:
     @pytest.mark.parametrize("warp", [False, True])
     def test_detects_full_grid(self, rng, warp):
@@ -66,6 +67,7 @@ class TestSyntheticBoard:
         assert ours[9, 1] > ours[0, 1]
 
 
+@pytest.mark.slow
 class TestRealImage:
     def test_matches_cv2_corners(self):
         gray = cv2.imread(

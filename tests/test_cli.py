@@ -19,6 +19,7 @@ def tiny_pair(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_match_verb(tiny_pair, capsys):
     rc = cli.main(["match", tiny_pair])
     assert rc == 0
@@ -26,12 +27,14 @@ def test_match_verb(tiny_pair, capsys):
     assert "good matches" in out
 
 
+@pytest.mark.slow
 def test_match_learned_verb(tiny_pair, capsys):
     rc = cli.main(["match", tiny_pair, "--learned"])
     assert rc == 0
     assert "keypoints" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_disparity_verb(tiny_pair, tmp_path, capsys):
     outdir = str(tmp_path / "disp")
     rc = cli.main(["disparity", tiny_pair, "--ndisp", "32", "--outdir", outdir])
@@ -42,6 +45,7 @@ def test_disparity_verb(tiny_pair, tmp_path, capsys):
     assert disp.shape == (184, 320)
 
 
+@pytest.mark.slow
 def test_geometry_verb(tiny_pair, capsys):
     rc = cli.main(["geometry", tiny_pair, "--baseline", "0.14"])
     assert rc == 0

@@ -97,6 +97,7 @@ class TestEssentialAndPose:
         np.testing.assert_allclose(np.asarray(t), t_cv.ravel(), atol=1e-4)
 
 
+@pytest.mark.slow
 class TestRobust:
     def test_lmeds_fundamental_rejects_outliers(self, rng):
         sc = make_scene(rng, n=300, noise=0.3, outlier_frac=0.3)

@@ -24,6 +24,7 @@ def cfg():
     return SGBMConfig(num_disparities=16, num_directions=8, speckle_window_size=0)
 
 
+@pytest.mark.slow
 class TestShardedSGM:
     def test_matches_single_device(self, cfg):
         """Halo warm-start vs exact single-device SGM on textured data.
@@ -79,6 +80,7 @@ class TestShardedSGM:
         assert np.asarray(valid).any()
 
 
+@pytest.mark.slow
 class TestStreaming:
     def test_stream_reconstruct_emits_clouds(self, tmp_path, cfg):
         from stereo_reconstruction_cv_tpu.parallel.streaming import stream_reconstruct

@@ -51,6 +51,7 @@ class TestIO:
         np.testing.assert_allclose(pts3, pts, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestGeometryE2E:
     def test_d3_pose_matches_reference_anchor(self, d3_half):
         """Reference anchor (main.ipynb cell 6): R ~ identity (max offdiag
@@ -106,6 +107,7 @@ class TestDenseE2E:
         assert np.isfinite(pts2).all()
 
 
+@pytest.mark.slow
 class TestLearnedMatcher:
     def test_checkpoint_restores_and_matches(self):
         """The shipped checkpoint must load cross-device and outperform a

@@ -2,6 +2,7 @@
 
 import cv2
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from stereo_reconstruction_cv_tpu.calib import stereo as SC
@@ -69,6 +70,7 @@ def test_parity_with_cv2_stereo_calibrate(rng):
     assert float(res.rms) <= max(rms_cv * 1.05, 0.25)
 
 
+@pytest.mark.slow
 def test_calibrate_stereo_rig_folder_workflow(tmp_path, rng):
     """Folder-level two-camera workflow: render synthetic board pairs to
     disk, run the stage end-to-end through detection + joint calibration."""

@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ class TestMetrics:
         json.loads(m.dump())
 
 
+@pytest.mark.slow
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         from stereo_reconstruction_cv_tpu.models import checkpoint as CK

@@ -19,6 +19,7 @@ def state_tx(model):
     return XF.create_train_state(jax.random.PRNGKey(0), model, (64, 96))
 
 
+@pytest.mark.slow
 class TestShapes:
     def test_forward_shapes(self, model, state_tx):
         state, _ = state_tx
@@ -39,6 +40,7 @@ class TestShapes:
         assert feats.descriptors.shape == (128, 64)
 
 
+@pytest.mark.slow
 class TestTraining:
     def test_loss_decreases(self, model, rng):
         state, tx = XF.create_train_state(jax.random.PRNGKey(1), model, (64, 96))
