@@ -1,0 +1,120 @@
+"""XFeat training driver: real self-supervised training (VERDICT r1 item 7).
+
+Replaces the toy loop (fixed top-left crops of <=16 images, 200 steps)
+with: random crops sampled per step from every training image (the 44
+calibration boards + the d1-d3 pairs by default), photometric jitter on
+top of the loss's homographic warps, linear-warmup + cosine LR, and
+periodic loss logging. Host-side numpy does the (cheap) crop sampling;
+the jitted train step runs on the accelerator.
+
+Reference surface this backs: XFeat learned matching, README.md:40-49,
+109-110 (Tab 7 on the xfeat_integ branch).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Sequence
+
+import numpy as np
+
+from stereo_reconstruction_cv_tpu.io.image import load_gray
+
+DEFAULT_FOLDERS = (
+    "/root/reference/calibration_data_logitech_3840x2160",
+    "/root/reference/dataset/d1",
+    "/root/reference/dataset/d2",
+    "/root/reference/dataset/d3",
+)
+
+
+def load_training_images(
+    folders: Sequence[str], max_side: int = 1280, max_images: int = 64
+) -> List[np.ndarray]:
+    """Load every *.jpg, box-downscaled so max(H, W) <= max_side.
+
+    Downscaling 4K sources keeps crop content diverse (a 256-px crop of a
+    4K frame is mostly flat texture) and bounds host memory."""
+    files: List[str] = []
+    for d in folders:
+        files += sorted(glob.glob(os.path.join(d, "*.jpg")))
+    imgs = []
+    for f in files[:max_images]:
+        g = load_gray(f).astype(np.float32)
+        H, W = g.shape
+        k = int(np.ceil(max(H, W) / max_side))
+        if k > 1:
+            g = g[: H - H % k, : W - W % k]
+            g = g.reshape(H // k, k, (W - W % k) // k, k).mean((1, 3))
+        imgs.append(g)
+    return imgs
+
+
+def sample_batch(
+    imgs: List[np.ndarray], rng: np.random.Generator, batch: int, crop: int
+) -> np.ndarray:
+    """(batch, crop, crop) random crops with photometric jitter."""
+    out = np.empty((batch, crop, crop), np.float32)
+    idx = rng.integers(0, len(imgs), size=batch)
+    for b, i in enumerate(idx):
+        g = imgs[i]
+        H, W = g.shape
+        y = rng.integers(0, max(H - crop, 1))
+        x = rng.integers(0, max(W - crop, 1))
+        c = g[y : y + crop, x : x + crop]
+        if c.shape != (crop, crop):  # image smaller than crop: pad-reflect
+            c = np.pad(c, ((0, crop - c.shape[0]), (0, crop - c.shape[1])), "reflect")
+        # Photometric jitter: gain, bias, gaussian noise (the geometric
+        # augmentation is the loss's per-step random homography).
+        gain = rng.uniform(0.7, 1.3)
+        bias = rng.uniform(-20, 20)
+        noise = rng.normal(0, rng.uniform(0, 4), size=c.shape)
+        out[b] = np.clip(c * gain + bias + noise, 0, 255)
+    return out
+
+
+def train(
+    folders: Sequence[str] = DEFAULT_FOLDERS,
+    steps: int = 5000,
+    batch: int = 16,
+    crop: int = 256,
+    lr: float = 2e-3,
+    warmup: int = 200,
+    seed: int = 0,
+    output: str = "checkpoints/xfeat_v1",
+    log_every: int = 100,
+    max_images: int = 64,
+):
+    """Train and save an orbax checkpoint; returns the loss history."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stereo_reconstruction_cv_tpu.models import checkpoint as CK
+    from stereo_reconstruction_cv_tpu.models import xfeat as XF
+
+    imgs = load_training_images(folders, max_images=max_images)
+    if not imgs:
+        raise FileNotFoundError(f"no *.jpg under {folders}")
+    rng = np.random.default_rng(seed)
+    model = XF.XFeatNet()
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key, jnp.zeros((1, crop, crop, 1), jnp.float32))
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps)
+    tx = optax.adam(sched)
+    state = XF.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = jax.jit(lambda s, i, k: XF.train_step(s, tx, model, i, k))
+
+    history = []
+    for it in range(steps):
+        key, sub = jax.random.split(key)
+        data = jnp.asarray(sample_batch(imgs, rng, batch, crop))
+        state, loss = step_fn(state, data, sub)
+        if it % log_every == 0 or it == steps - 1:
+            lv = float(loss)
+            history.append((it, lv))
+            print(f"step {it}: loss {lv:.4f}", flush=True)
+    CK.save_params(output, state.params)
+    print(f"saved checkpoint to {output}")
+    return history
