@@ -143,7 +143,11 @@ def cmd_train_features(args):
 def cmd_geometry(args):
     from stereo_reconstruction_cv_tpu.pipeline import stages
 
-    out = stages.estimate_geometry(args.pair, baseline=args.baseline, camera_matrix=_load_K(args))
+    out = stages.estimate_geometry(
+        args.pair, baseline=args.baseline, camera_matrix=_load_K(args),
+        method="learned" if getattr(args, "learned", False) else "classical",
+        checkpoint=getattr(args, "model", None),
+    )
     for k in ("Essential Matrix", "Rotation Matrix", "Translation Vector"):
         print(f"\n== {k} ==\n{out[k]}")
     print(f"\nmatches: {out['num_matches']}  F inliers: {out['num_inliers_F']}  E inliers: {out['num_inliers_E']}")
@@ -282,6 +286,8 @@ def main(argv=None):
     g.add_argument("pair")
     g.add_argument("--baseline", type=float, default=0.1)
     g.add_argument("--calibration", default=None)
+    g.add_argument("--learned", action="store_true", help="XFeat-style matcher")
+    g.add_argument("--model", default=None, help="orbax checkpoint for --learned")
     g.set_defaults(fn=cmd_geometry)
 
     t = sub.add_parser("triangulate", help="sparse reconstruction (Tab 5)")

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from stereo_reconstruction_cv_tpu.ops import geometry as G
+from stereo_reconstruction_cv_tpu.ops import linalg as LA
 
 
 # ---------------------------------------------------------------------------
@@ -50,9 +51,13 @@ def normalize_points(pts: jnp.ndarray, weights: jnp.ndarray | None = None):
 # ---------------------------------------------------------------------------
 
 def _smallest_eigvec_9(ATA: jnp.ndarray) -> jnp.ndarray:
-    """Eigenvector of the smallest eigenvalue of a symmetric 9x9."""
-    _, v = jnp.linalg.eigh(ATA)
-    return v[..., 0]
+    """Eigenvector of the smallest eigenvalue of a symmetric 9x9.
+
+    Inverse iteration (ops/linalg.py), not jnp.linalg.eigh: TPU eigh
+    lowering compiles pathologically slowly (minutes for one batched
+    (512, 9, 9) instance, measured) and is overkill for a null-vector
+    extraction."""
+    return LA.smallest_eigvec(ATA, iters=8)
 
 
 def eight_point(
@@ -78,7 +83,7 @@ def eight_point(
     f = _smallest_eigvec_9(Aw.T @ A)  # (A^T W A) f = min
     F = f.reshape(3, 3)
     if enforce_rank2:
-        u, s, vt = jnp.linalg.svd(F)
+        u, s, vt = LA.svd3(F)
         F = (u * s.at[2].set(0.0)[None, :]) @ vt
     F = T2.T @ F @ T1
     den = F[2, 2]
@@ -103,7 +108,7 @@ def essential_8pt(
     Aw = A * weights[:, None]
     e = _smallest_eigvec_9(Aw.T @ A)
     E = T2.T @ e.reshape(3, 3) @ T1
-    u, s, vt = jnp.linalg.svd(E)
+    u, s, vt = LA.svd3(E)
     sm = (s[0] + s[1]) * 0.5
     E = (u * jnp.array([sm, sm, 0.0], E.dtype)[None, :]) @ vt
     return E / (jnp.linalg.norm(E) + 1e-30)
@@ -126,13 +131,13 @@ def essential_from_Rt(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 def essential_from_fundamental(F: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray) -> jnp.ndarray:
     E = K2.T @ F @ K1
-    u, s, vt = jnp.linalg.svd(E)
+    u, s, vt = LA.svd3(E)
     sm = (s[0] + s[1]) * 0.5
     return (u * jnp.array([sm, sm, 0.0], E.dtype)[None, :]) @ vt
 
 
 def fundamental_from_essential(E: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.inv(K2).T @ E @ jnp.linalg.inv(K1)
+    return LA.inv3(K2).T @ E @ LA.inv3(K1)
 
 
 def decompose_essential(E: jnp.ndarray):
@@ -140,10 +145,10 @@ def decompose_essential(E: jnp.ndarray):
 
     The four pose candidates are (R1, t), (R1, -t), (R2, t), (R2, -t).
     """
-    u, _, vt = jnp.linalg.svd(E)
+    u, _, vt = LA.svd3(E)
     # Force proper rotations.
-    u = u * jnp.sign(jnp.linalg.det(u))
-    vt = vt * jnp.sign(jnp.linalg.det(vt))
+    u = u * jnp.sign(LA.det3(u))
+    vt = vt * jnp.sign(LA.det3(vt))
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     R1 = u @ W @ vt
     R2 = u @ W.T @ vt
@@ -170,8 +175,7 @@ def _cheirality_count(R, t, npts1, npts2, weights):
                 p2[1] * P2[2] - P2[1],
             ]
         )
-        _, v = jnp.linalg.eigh(A.T @ A)
-        X = v[:, 0]
+        X = LA.smallest_eigvec(A.T @ A, iters=6)
         X = X / jnp.where(jnp.abs(X[3]) < 1e-30, 1e-30, X[3])
         z1 = X[2]
         z2 = P2[2] @ X

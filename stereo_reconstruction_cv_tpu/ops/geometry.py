@@ -212,9 +212,11 @@ def triangulate_points(
                 p2[1] * P2[2] - P2[1],
             ]
         )
-        # Smallest right singular vector of A (4x4).
-        _, _, vt = jnp.linalg.svd(A)
-        return vt[-1]
+        # Smallest right singular vector of A (4x4) == null vector of
+        # A^T A: inverse iteration (ops/linalg.py) — no TPU SVD lowering.
+        from stereo_reconstruction_cv_tpu.ops import linalg as LA
+
+        return LA.smallest_eigvec(A.T @ A, iters=6)
 
     return jax.vmap(one)(pts1, pts2)
 

@@ -314,6 +314,23 @@ def _on_host_cpu():
         yield
 
 
+def _geometry_ctx():
+    """Device policy for the sparse/geometry solves.
+
+    Default ('device'): run ON the accelerator — the whole stack is
+    Hartley-normalized and decomposition-free (ops/linalg.py inverse
+    iteration + analytic 3x3 instead of LAPACK lowerings), f32-safe, and
+    validated against the d3 notebook anchors on a real v5e (max |R-I|
+    0.0397 vs anchor ~0.040). Set STEREO_GEOMETRY_DEVICE=host for the
+    round-1 conservative host-CPU path (CPU LAPACK via the same code)."""
+    import os
+
+    pol = os.environ.get("STEREO_GEOMETRY_DEVICE", "device")
+    if pol == "host":
+        return _on_host_cpu()
+    return contextlib.nullcontext()
+
+
 def _downscale(img: np.ndarray, factor: int) -> np.ndarray:
     """Box-average downscale by an integer factor."""
     H, W = img.shape
@@ -326,11 +343,15 @@ def _downscale(img: np.ndarray, factor: int) -> np.ndarray:
     )
 
 
-def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig, max_dim: int = 2048):
+def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig, max_dim: int = 2048,
+                        method: str = "classical", checkpoint: str | None = None):
     """Detect+match for the geometry path. Large frames are detected at a
     reduced scale (keypoint coords scaled back) — detection response and
     descriptors are scale-normalized, and sub-pixel precision at 2K is
     ample for robust F/E estimation.
+
+    method='learned' swaps in the XFeat-style net (Tab 7 semantics) —
+    correspondences then feed the identical robust F/E + pose path.
 
     Runs under full f32 matmul/conv precision: TPU's default bf16 matmul
     precision degrades descriptor distances and the robust solvers'
@@ -340,9 +361,13 @@ def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig, max_dim: int = 2048)
     factor = max(1, int(np.ceil(max(imL.shape) / max_dim)))
     dL = _downscale(imL, factor) if factor > 1 else imL
     dR = _downscale(imR, factor) if factor > 1 else imR
-    with _on_host_cpu(), jax.default_matmul_precision("highest"):
-        fl = FT.detect_and_describe(jnp.asarray(dL), cfg.max_keypoints, cfg.contrast_threshold)
-        fr = FT.detect_and_describe(jnp.asarray(dR), cfg.max_keypoints, cfg.contrast_threshold)
+    with _geometry_ctx(), jax.default_matmul_precision("highest"):
+        if method == "learned":
+            fl = _learned_features(dL, cfg.max_keypoints, checkpoint)
+            fr = _learned_features(dR, cfg.max_keypoints, checkpoint)
+        else:
+            fl = FT.detect_and_describe(jnp.asarray(dL), cfg.max_keypoints, cfg.contrast_threshold)
+            fr = FT.detect_and_describe(jnp.asarray(dR), cfg.max_keypoints, cfg.contrast_threshold)
         mres = M.knn2_match(
             fl.descriptors.astype(jnp.float32),
             fr.descriptors.astype(jnp.float32),
@@ -363,17 +388,24 @@ def estimate_geometry(
     camera_matrix: Optional[np.ndarray] = None,
     seed: int = 0,
     pipeline_cfg: cfg_mod.PipelineConfig = cfg_mod.DEFAULT,
+    method: str = "classical",
+    checkpoint: str | None = None,
 ) -> Dict:
     """stereo_geometry_estimation parity (gui.py:263-322): SIFT-sem match
     (ratio 0.7) -> F (LMedS) -> E (RANSAC p=.999 thr=1px) -> recoverPose.
+
+    method='learned' uses the XFeat-style matcher for correspondences
+    (Tab 7 geometry path, README.md:109-110 [branch]).
 
     Returns the reference's dict {"Essential Matrix", "Rotation Matrix",
     "Translation Vector"} plus F, inlier masks and diagnostics."""
     imL, imR = _load_pair(folder_or_pair)
     K = np.asarray(camera_matrix) if camera_matrix is not None else default_camera_matrix()
-    p1, p2, mask, det_factor = _match_for_geometry(imL, imR, pipeline_cfg.match)
+    p1, p2, mask, det_factor = _match_for_geometry(
+        imL, imR, pipeline_cfg.match, method=method, checkpoint=checkpoint
+    )
     keys = jax.random.split(jax.random.PRNGKey(seed), 2)
-    with _on_host_cpu(), jax.default_matmul_precision("highest"):
+    with _geometry_ctx(), jax.default_matmul_precision("highest"):
         fres = RB.find_fundamental(
             keys[0], p1, p2, mask=mask,
             method=pipeline_cfg.robust.f_method,

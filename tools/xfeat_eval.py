@@ -1,0 +1,88 @@
+"""Learned-vs-classical feature evaluation (VERDICT r1 item 7).
+
+For each bundled pair (dataset/d1-d3) runs the full geometry pipeline with
+(a) the classical multi-scale Harris/SIFT-like detector and (b) the
+learned XFeat-style net (given checkpoint), and records: good-match count,
+F-inlier count/ratio, E-inlier count, and the recovered pose. For d3 the
+pose is scored against the reference notebook anchors
+(/root/reference main.ipynb cell 6: R ~ I, T ~ [1, .0096, -.0039]).
+Writes docs/XFEAT_EVAL.json.
+
+Usage: python tools/xfeat_eval.py [checkpoint] [out.json]
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+_K = np.array(
+    [[2253.71, 0.0, 1929.69], [0.0, 2244.72, 1057.63], [0.0, 0.0, 1.0]]
+)
+_T_ANCHOR = np.array([1.0, 0.00964, -0.00387])
+
+
+def _pose_metrics(out):
+    R = np.asarray(out["Rotation Matrix"])
+    T = np.asarray(out["Translation Vector"]).ravel()
+    Tn = T / (np.linalg.norm(T) + 1e-30)
+    ang = np.degrees(
+        np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
+    )
+    terr = min(np.linalg.norm(Tn - _T_ANCHOR), np.linalg.norm(Tn + _T_ANCHOR))
+    return {
+        "num_matches": out["num_matches"],
+        "num_inliers_F": out["num_inliers_F"],
+        "num_inliers_E": out["num_inliers_E"],
+        "inlier_ratio_F": round(out["num_inliers_F"] / max(out["num_matches"], 1), 4),
+        "R_angle_deg": round(float(ang), 4),
+        "T_dir": [round(float(v), 5) for v in Tn],
+        "T_anchor_err": round(float(terr), 5),
+    }
+
+
+def main(checkpoint="checkpoints/xfeat_v1", out_path="docs/XFEAT_EVAL.json"):
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+
+    if not os.path.isdir(checkpoint):
+        alt = "checkpoints/xfeat_v0"
+        print(f"checkpoint {checkpoint!r} missing; falling back to {alt}")
+        checkpoint = alt
+    report = {"checkpoint": checkpoint, "pairs": {}}
+    for d in ("d1", "d2", "d3"):
+        folder = f"/root/reference/dataset/{d}"
+        row = {}
+        for method in ("classical", "learned"):
+            try:
+                out = stages.estimate_geometry(
+                    folder, baseline=0.14, camera_matrix=_K,
+                    method=method,
+                    checkpoint=checkpoint if method == "learned" else None,
+                )
+                row[method] = _pose_metrics(out)
+            except Exception as e:
+                row[method] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        report["pairs"][d] = row
+        print(d, json.dumps(row), flush=True)
+
+    # Verdict: learned >= classical on match quality for >= 2 of 3 pairs
+    wins = 0
+    for d, row in report["pairs"].items():
+        c, l = row.get("classical", {}), row.get("learned", {})
+        if "error" in c or "error" in l:
+            continue
+        if l["num_inliers_E"] >= c["num_inliers_E"] or (
+            d == "d3" and l["T_anchor_err"] <= c["T_anchor_err"]
+        ):
+            wins += 1
+    report["learned_wins"] = wins
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out_path}; learned wins on {wins}/3 pairs")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
