@@ -115,10 +115,11 @@ class SGBMConfig:
     # Aggregation backend: 'pallas' (TPU sweep kernels, bit-exact, ~3x the
     # XLA scans), 'xla' (lax.scan reference), or 'auto' (pallas on TPU).
     backend: str = "auto"
-    # Speckle backend: 'propagate' = jitted label propagation (device-only,
-    # 99.7% mask agreement with cv2.filterSpeckles, see speckle_filter);
-    # 'exact' = host union-find via jax.pure_callback (100% cv2 parity,
-    # costs one device->host->device round-trip of the disparity maps).
+    # Speckle backend: 'propagate' = device-side segmented min-scans
+    # iterated to convergence (exact cv2.filterSpeckles parity on
+    # convergence — real maps converge in 3-6 rounds; see speckle_filter);
+    # 'exact' = host union-find via jax.pure_callback (unconditionally
+    # exact, costs one device->host->device round-trip of the maps).
     speckle_backend: str = "propagate"
 
     def with_(self, **kw) -> "SGBMConfig":
