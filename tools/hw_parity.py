@@ -16,6 +16,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")))
+
 
 def main(out_path="docs/HW_PARITY.json"):
     import jax
