@@ -71,7 +71,13 @@ class XFeatNet(nn.Module):
         d4 = ConvBlock(96)(d4)
         fused = d4 + nn.Conv(96, (1, 1))(jax.image.resize(d2, d4.shape[:3] + (48,), "bilinear"))
         desc = nn.Conv(self.desc_dim, (1, 1))(fused)  # (B, H/8, W/8, 64)
-        desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+        # rsqrt(sum^2 + eps), NOT norm + eps: the norm's backward at an
+        # exactly-zero vector is 0/0 = NaN, and warped training crops
+        # produce constant-zero border cells whose descriptors are exactly
+        # zero at init (observed: NaN gradients on step 0).
+        desc = desc * jax.lax.rsqrt(
+            jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-12
+        )
         reliability = nn.sigmoid(nn.Conv(1, (1, 1))(fused)[..., 0])
         return kpt_logits, desc, reliability
 

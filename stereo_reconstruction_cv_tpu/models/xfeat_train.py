@@ -140,7 +140,9 @@ def train(
     key = jax.random.PRNGKey(seed)
     params = model.init(key, jnp.zeros((1, crop, crop, 1), jnp.float32))
     sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps)
-    tx = optax.adam(sched)
+    # Global-norm clipping: the InfoNCE loss over 32x32 cells occasionally
+    # spikes (observed NaN by step 100 unclipped at lr 2e-3 on TPU).
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     state = XF.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
     def step_fn(s, k):
