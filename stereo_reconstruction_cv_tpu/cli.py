@@ -170,6 +170,61 @@ def cmd_triangulate(args):
     return 0
 
 
+def cmd_report(args):
+    """Full-pipeline HTML report: every stage's imagery + numbers in one
+    self-contained page (the headless equivalent of the GUI's tab panes)."""
+    import tempfile
+
+    from stereo_reconstruction_cv_tpu.io.report import ReportBuilder
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+    from stereo_reconstruction_cv_tpu.utils.draw import colormap_jet
+
+    rb = ReportBuilder(f"stereo-tpu report — {args.pair}")
+    K = _load_K(args)
+
+    rb.section("Feature detection & matching (Tab 3)")
+    m = stages.detect_match(args.pair, with_visualizations=True)
+    rb.text(
+        f"keypoints: left={m['num_keypoints'][0]} right={m['num_keypoints'][1]}; "
+        f"good matches (ratio 0.75): {m['num_good_matches']}"
+    )
+    rb.images([(k, m[k]) for k in ("Left Keypoints", "Right Keypoints", "Good Matches") if k in m])
+
+    rb.section("Geometry estimation (Tab 4)")
+    g = stages.estimate_geometry(args.pair, baseline=args.baseline, camera_matrix=K)
+    rb.pre(
+        "Essential Matrix:\n%s\n\nRotation Matrix:\n%s\n\nTranslation Vector:\n%s\n\n"
+        "matches %d  F inliers %d  E inliers %d"
+        % (g["Essential Matrix"], g["Rotation Matrix"], g["Translation Vector"].ravel(),
+           g["num_matches"], g["num_inliers_F"], g["num_inliers_E"])
+    )
+
+    rb.section("Rectification (Tab 2)")
+    r = stages.rectify_pair(args.pair, baseline=args.baseline, camera_matrix=K)
+    rb.pre("Q:\n%s\nepiline mean |slope| after rectification: %.5f"
+           % (r["Q"], r["epiline_mean_abs_slope"]))
+    rb.images([(k, r[k]) for k in (
+        "Left Epilines (before)", "Right Points (before)",
+        "Left Epilines (after)", "Right Points (after)") if k in r])
+
+    rb.section("Dense disparity (Tab 6)")
+    disp = stages.disparity(r["left_rectified"], r["right_rectified"], ndisp=args.ndisp)
+    rb.text(f"disparity range [{float(disp.min()):.2f}, {float(disp.max()):.2f}] "
+            f"at {args.ndisp} disparities")
+    rb.images([("Disparity (jet)", colormap_jet(np.asarray(disp)))])
+
+    rb.section("3D reconstruction (point cloud)")
+    pts = stages.reconstruct(disp, r["Q"])
+    with tempfile.NamedTemporaryFile(suffix=".html", delete=False) as tf:
+        n = stages.export_point_cloud(tf.name, pts, disp)
+        rb.text(f"{n} valid points — drag to orbit, wheel to zoom")
+        rb.viewer(tf.name)
+
+    rb.write(args.output)
+    print(f"report -> {args.output}")
+    return 0
+
+
 def cmd_view(args):
     """PLY -> standalone interactive HTML viewer (Open3D-window stand-in)."""
     from stereo_reconstruction_cv_tpu.io.ply import read_ply
@@ -315,6 +370,14 @@ def main(argv=None):
     rc.add_argument("--output", default="point_cloud.ply")
     rc.add_argument("--viewer", default=None, help="also write an HTML viewer")
     rc.set_defaults(fn=cmd_reconstruct)
+
+    rp = sub.add_parser("report", help="full-pipeline HTML report (all tabs)")
+    rp.add_argument("pair")
+    rp.add_argument("--baseline", type=float, default=0.1)
+    rp.add_argument("--calibration", default=None)
+    rp.add_argument("--ndisp", type=int, default=64)
+    rp.add_argument("--output", default="stereo_report.html")
+    rp.set_defaults(fn=cmd_report)
 
     v = sub.add_parser("view", help="PLY -> standalone HTML viewer")
     v.add_argument("cloud")

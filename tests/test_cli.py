@@ -51,3 +51,18 @@ def test_geometry_verb(tiny_pair, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Essential Matrix" in out and "Translation Vector" in out
+
+
+@pytest.mark.slow
+def test_report_verb(tiny_pair, tmp_path, capsys):
+    out = str(tmp_path / "report.html")
+    rc = cli.main(["report", tiny_pair, "--ndisp", "16", "--output", out])
+    assert rc == 0
+    html = open(out).read()
+    assert html.startswith("<!DOCTYPE html>")
+    # every stage section present, imagery embedded, viewer inlined
+    for sec in ("Feature detection", "Geometry estimation", "Rectification",
+                "Dense disparity", "3D reconstruction"):
+        assert sec in html
+    assert "data:image/png;base64," in html
+    assert "srcdoc=" in html
