@@ -25,26 +25,32 @@ _K = np.array(
 _T_ANCHOR = np.array([1.0, 0.00964, -0.00387])
 
 
-def _pose_metrics(out):
+def _pose_metrics(out, with_anchor=False):
     R = np.asarray(out["Rotation Matrix"])
     T = np.asarray(out["Translation Vector"]).ravel()
     Tn = T / (np.linalg.norm(T) + 1e-30)
     ang = np.degrees(
         np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
     )
-    terr = min(np.linalg.norm(Tn - _T_ANCHOR), np.linalg.norm(Tn + _T_ANCHOR))
-    return {
+    m = {
         "num_matches": out["num_matches"],
         "num_inliers_F": out["num_inliers_F"],
         "num_inliers_E": out["num_inliers_E"],
         "inlier_ratio_F": round(out["num_inliers_F"] / max(out["num_matches"], 1), 4),
         "R_angle_deg": round(float(ang), 4),
         "T_dir": [round(float(v), 5) for v in Tn],
-        "T_anchor_err": round(float(terr), 5),
     }
+    if with_anchor:  # the notebook anchors exist only for d3
+        terr = min(np.linalg.norm(Tn - _T_ANCHOR), np.linalg.norm(Tn + _T_ANCHOR))
+        m["T_anchor_err"] = round(float(terr), 5)
+    return m
 
 
 def main(checkpoint="checkpoints/xfeat_v1", out_path="docs/XFEAT_EVAL.json"):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from stereo_reconstruction_cv_tpu.pipeline import stages
 
     if not os.path.isdir(checkpoint):
@@ -62,7 +68,7 @@ def main(checkpoint="checkpoints/xfeat_v1", out_path="docs/XFEAT_EVAL.json"):
                     method=method,
                     checkpoint=checkpoint if method == "learned" else None,
                 )
-                row[method] = _pose_metrics(out)
+                row[method] = _pose_metrics(out, with_anchor=(d == "d3"))
             except Exception as e:
                 row[method] = {"error": f"{type(e).__name__}: {e}"[:200]}
         report["pairs"][d] = row
@@ -75,7 +81,8 @@ def main(checkpoint="checkpoints/xfeat_v1", out_path="docs/XFEAT_EVAL.json"):
         if "error" in c or "error" in l:
             continue
         if l["num_inliers_E"] >= c["num_inliers_E"] or (
-            d == "d3" and l["T_anchor_err"] <= c["T_anchor_err"]
+            "T_anchor_err" in l and "T_anchor_err" in c
+            and l["T_anchor_err"] <= c["T_anchor_err"]
         ):
             wins += 1
     report["learned_wins"] = wins
