@@ -444,11 +444,13 @@ def bench_config5():
 
     loader = PrefetchLoader(paths, batch_size=1, prefetch=2, gray=True)
     t0 = time.perf_counter()
-    n = 0
+    outs = []
     for l, r in loader:
-        float(np.asarray(pair_step(l[0], r[0])))
-        n += 1
-    dt = (time.perf_counter() - t0) / n
+        outs.append(pair_step(l[0], r[0]))  # async dispatch; decode overlaps
+    for o in outs:
+        float(np.asarray(o))
+    dt = (time.perf_counter() - t0) / len(outs)
+    n = len(outs)
     mpix = H * W / 1e6
     return {
         "metric": "streaming_8pair_4k",
