@@ -25,8 +25,13 @@ def _planes(rng, H, W):
 @pytest.mark.parametrize(
     "H,W,D,mind",
     [
-        (24, 200, 32, 0),      # single strip, small D
-        pytest.param(40, 360, 64, 0, marks=pytest.mark.slow),   # strip boundary crosses Wc
+        # All interpret-mode cases are ~35-50 s regardless of size (fixed
+        # per-grid-step interpretation cost); the fast tier relies on the
+        # per-round hardware artifact (docs/HW_PARITY.json) for this
+        # kernel and the full goldens run in the slow tier.
+        pytest.param(16, 144, 32, 0, marks=pytest.mark.slow),
+        pytest.param(24, 200, 32, 0, marks=pytest.mark.slow),  # single strip, small D
+        pytest.param(40, 360, 64, 0, marks=pytest.mark.slow),  # strip boundary crosses Wc
         pytest.param(24, 600, 128, 0, marks=pytest.mark.slow),  # two strips
         pytest.param(24, 300, 32, 16, marks=pytest.mark.slow),  # nonzero min_disparity
     ],

@@ -148,6 +148,7 @@ class TestVsOpenCV:
 
 
 class TestTiled:
+    @pytest.mark.slow
     def test_tiled_matches_untiled(self, rng):
         imL = cv2.resize(cv2.imread("/root/reference/dataset/d2/img1.jpg", 0), (320, 256))
         imR = cv2.resize(cv2.imread("/root/reference/dataset/d2/img2.jpg", 0), (320, 256))
@@ -250,6 +251,7 @@ class TestSpeckleConvergent:
         ref = native.filter_speckles(dq, v.copy(), 100, 32.0)
         return (keep == ref).mean()
 
+    @pytest.mark.slow
     def test_adversarial_percolation_exact(self, rng):
         disp = rng.uniform(0, 64, (240, 320)).astype(np.float32)
         valid = rng.uniform(size=(240, 320)) > 0.35

@@ -32,6 +32,7 @@ def synth_stereo_views(rng, V=10, noise=0.1):
                 img1=np.stack(i1), img2=np.stack(i2))
 
 
+@pytest.mark.slow
 def test_recovers_rig_geometry(rng):
     sc = synth_stereo_views(rng, V=10, noise=0.05)
     res = SC.calibrate_stereo(
