@@ -73,6 +73,18 @@ def cmd_stereo_calibrate(args):
     return 0
 
 
+def _default_learned_checkpoint():
+    """Shipped trained weights, so --learned without --model never runs a
+    randomly initialized net silently."""
+    cand = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "checkpoints", "xfeat_v1")
+    if os.path.isdir(cand):
+        return os.path.abspath(cand)
+    print("warning: no trained checkpoint found; using fresh-init weights",
+          file=sys.stderr)
+    return None
+
+
 def cmd_rectify(args):
     from stereo_reconstruction_cv_tpu.pipeline import stages
     from stereo_reconstruction_cv_tpu.io.image import save_image
@@ -108,7 +120,8 @@ def cmd_match(args):
         args.pair,
         contrast_threshold=args.contrast_threshold,
         method="learned" if args.learned else "classical",
-        model_checkpoint=args.model,
+        model_checkpoint=(args.model or _default_learned_checkpoint())
+        if args.learned else None,
     )
     print(f"keypoints: left={out['num_keypoints'][0]} right={out['num_keypoints'][1]}")
     print(f"good matches (ratio 0.75): {out['num_good_matches']}")
@@ -146,7 +159,8 @@ def cmd_geometry(args):
     out = stages.estimate_geometry(
         args.pair, baseline=args.baseline, camera_matrix=_load_K(args),
         method="learned" if getattr(args, "learned", False) else "classical",
-        checkpoint=getattr(args, "model", None),
+        checkpoint=(getattr(args, "model", None) or _default_learned_checkpoint())
+        if getattr(args, "learned", False) else None,
     )
     for k in ("Essential Matrix", "Rotation Matrix", "Translation Vector"):
         print(f"\n== {k} ==\n{out[k]}")
@@ -190,17 +204,17 @@ def cmd_report(args):
     )
     rb.images([(k, m[k]) for k in ("Left Keypoints", "Right Keypoints", "Good Matches") if k in m])
 
-    rb.section("Geometry estimation (Tab 4)")
-    g = stages.estimate_geometry(args.pair, baseline=args.baseline, camera_matrix=K)
+    rb.section("Rectification + geometry (Tabs 2/4)")
+    # rectify_pair estimates the two-view geometry internally and returns
+    # it — one robust F/E pass serves both report sections.
+    r = stages.rectify_pair(args.pair, baseline=args.baseline, camera_matrix=K)
+    g = r["geometry"]
     rb.pre(
         "Essential Matrix:\n%s\n\nRotation Matrix:\n%s\n\nTranslation Vector:\n%s\n\n"
         "matches %d  F inliers %d  E inliers %d"
         % (g["Essential Matrix"], g["Rotation Matrix"], g["Translation Vector"].ravel(),
            g["num_matches"], g["num_inliers_F"], g["num_inliers_E"])
     )
-
-    rb.section("Rectification (Tab 2)")
-    r = stages.rectify_pair(args.pair, baseline=args.baseline, camera_matrix=K)
     rb.pre("Q:\n%s\nepiline mean |slope| after rectification: %.5f"
            % (r["Q"], r["epiline_mean_abs_slope"]))
     rb.images([(k, r[k]) for k in (
@@ -219,6 +233,7 @@ def cmd_report(args):
         n = stages.export_point_cloud(tf.name, pts, disp)
         rb.text(f"{n} valid points — drag to orbit, wheel to zoom")
         rb.viewer(tf.name)
+    os.unlink(tf.name)
 
     rb.write(args.output)
     print(f"report -> {args.output}")

@@ -52,7 +52,8 @@ for (let i = 0; i < N; i++)
     if (v > mx[k]) mx[k] = v;
   }
 const center = [(mn[0]+mx[0])/2, (mn[1]+mx[1])/2, (mn[2]+mx[2])/2];
-const radius = Math.max(mx[0]-mn[0], mx[1]-mn[1], mx[2]-mn[2]) / 2 || 1;
+let radius = Math.max(mx[0]-mn[0], mx[1]-mn[1], mx[2]-mn[2]) / 2;
+if (!(radius > 0)) radius = 1;  // empty/degenerate cloud: sane default frame
 
 const canvas = document.getElementById("c");
 const gl = canvas.getContext("webgl");

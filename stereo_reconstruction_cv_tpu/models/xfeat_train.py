@@ -4,8 +4,9 @@ Replaces the toy loop (fixed top-left crops of <=16 images, 200 steps)
 with: random crops sampled per step from every training image (the 44
 calibration boards + the d1-d3 pairs by default), photometric jitter on
 top of the loss's homographic warps, linear-warmup + cosine LR, and
-periodic loss logging. Host-side numpy does the (cheap) crop sampling;
-the jitted train step runs on the accelerator.
+periodic loss logging. The image pool is staged to device memory once
+and every step samples, augments, and optimizes inside one jitted
+program (zero per-step host transfer).
 
 Reference surface this backs: XFeat learned matching, README.md:40-49,
 109-110 (Tab 7 on the xfeat_integ branch).
@@ -49,29 +50,6 @@ def load_training_images(
             g = g.reshape(H // k, k, (W - W % k) // k, k).mean((1, 3))
         imgs.append(g)
     return imgs
-
-
-def sample_batch(
-    imgs: List[np.ndarray], rng: np.random.Generator, batch: int, crop: int
-) -> np.ndarray:
-    """(batch, crop, crop) random crops with photometric jitter."""
-    out = np.empty((batch, crop, crop), np.float32)
-    idx = rng.integers(0, len(imgs), size=batch)
-    for b, i in enumerate(idx):
-        g = imgs[i]
-        H, W = g.shape
-        y = rng.integers(0, max(H - crop, 1))
-        x = rng.integers(0, max(W - crop, 1))
-        c = g[y : y + crop, x : x + crop]
-        if c.shape != (crop, crop):  # image smaller than crop: pad-reflect
-            c = np.pad(c, ((0, crop - c.shape[0]), (0, crop - c.shape[1])), "reflect")
-        # Photometric jitter: gain, bias, gaussian noise (the geometric
-        # augmentation is the loss's per-step random homography).
-        gain = rng.uniform(0.7, 1.3)
-        bias = rng.uniform(-20, 20)
-        noise = rng.normal(0, rng.uniform(0, 4), size=c.shape)
-        out[b] = np.clip(c * gain + bias + noise, 0, 255)
-    return out
 
 
 def _device_batch(pool, key, batch: int, crop: int):
@@ -124,17 +102,18 @@ def train(
     from stereo_reconstruction_cv_tpu.models import xfeat as XF
 
     imgs = load_training_images(folders, max_images=max_images)
+    # Images smaller than the crop can neither be cropped nor reflect-padded
+    # safely — skip them (the pre-round-2 CLI did the same), and never let a
+    # small straggler collapse the pool size below the larger images.
+    imgs = [g for g in imgs if g.shape[0] >= crop and g.shape[1] >= crop]
     if not imgs:
-        raise FileNotFoundError(f"no *.jpg under {folders}")
-    # Common pool shape: crop every image to the minimum H x W (>= crop).
-    Hs = max(min(g.shape[0] for g in imgs), crop)
-    Ws = max(min(g.shape[1] for g in imgs), crop)
-    stack = []
-    for g in imgs:
-        if g.shape[0] < Hs or g.shape[1] < Ws:
-            g = np.pad(g, ((0, max(0, Hs - g.shape[0])), (0, max(0, Ws - g.shape[1]))), "reflect")
-        stack.append(g[:Hs, :Ws])
-    pool = jnp.asarray(np.stack(stack))
+        raise FileNotFoundError(
+            f"no *.jpg of at least {crop}x{crop} under {folders}"
+        )
+    # Common pool shape: crop every remaining image to the minimum H x W.
+    Hs = min(g.shape[0] for g in imgs)
+    Ws = min(g.shape[1] for g in imgs)
+    pool = jnp.asarray(np.stack([g[:Hs, :Ws] for g in imgs]))
 
     model = XF.XFeatNet()
     key = jax.random.PRNGKey(seed)

@@ -459,11 +459,11 @@ def speckle_filter(
     (cv2.filterSpeckles semantics: 4-connectivity, |d(p)-d(q)| <= max_diff,
     regions smaller than max_speckle_size invalidated).
 
-    Connected components via segmented min-scans iterated to convergence:
+    Connected components via segmented min-floods iterated to convergence:
     each pixel starts as its own label (linear index); one round floods
-    min-labels along full rows (both directions) then full columns (both
-    directions) within connectivity segments — `lax.associative_scan`, no
-    gathers (TPU gathers at 4K cost ~65 ms each; a scan round is ~10 ms).
+    min-labels along full rows then full columns within connectivity
+    segments (_seg_min_flood: log-doubling pad-shifts, no gathers — TPU
+    gathers at 4K cost ~65 ms each; a flood round is ~10 ms).
     The lax.while_loop exits as soon as a round changes nothing, at which
     point every component carries exactly its global min label, so the
     result is EXACT (100% cv2.filterSpeckles mask agreement, tested on d2
@@ -535,19 +535,10 @@ def sgbm_disparity(
     for p in (sl, sr, left.astype(jnp.int32), right.astype(jnp.int32)):
         planes.append(p.at[:, 0].set(capv).at[:, -1].set(capv))
     sl, sr, rawl, rawr = planes
-    # 'auto' selects the Pallas TPU kernels only on an actual TPU backend;
-    # GPU or other accelerators fall back to the XLA scans.
-    use_pallas = cfg.backend == "pallas" or (
-        cfg.backend == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
+    if _use_pallas(cfg):
         from stereo_reconstruction_cv_tpu.ops.pallas.cost_pallas import (
             cost_volume_pallas,
         )
-        from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import (
-            sgm_aggregate_pallas,
-        )
-
         from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import sgm_wta_pallas
 
         # Fused BT cost + 11x11 block sum in one pass (bit-exact vs the
@@ -596,6 +587,14 @@ def _speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: SGBMConfig) -> jnp.ndar
     )
 
 
+def _use_pallas(cfg: SGBMConfig) -> bool:
+    """'auto' selects the Pallas TPU kernels only on an actual TPU backend;
+    GPU or other accelerators fall back to the XLA scans."""
+    return cfg.backend == "pallas" or (
+        cfg.backend == "auto" and jax.default_backend() == "tpu"
+    )
+
+
 def _fits_whole_frame(H: int, W: int, cfg: SGBMConfig) -> bool:
     """Whether one frame's SGBM fits HBM without row tiling.
 
@@ -606,10 +605,7 @@ def _fits_whole_frame(H: int, W: int, cfg: SGBMConfig) -> bool:
     materializes int32 C and S (plus scan temporaries), so it keeps the
     conservative 4e8-cell bound."""
     cells = H * W * cfg.num_disparities
-    use_pallas = cfg.backend == "pallas" or (
-        cfg.backend == "auto" and jax.default_backend() == "tpu"
-    )
-    return cells <= (24 * 10**8 if use_pallas else 4 * 10**8)
+    return cells <= (24 * 10**8 if _use_pallas(cfg) else 4 * 10**8)
 
 
 def sgbm_disparity_auto(

@@ -130,18 +130,6 @@ def smallest_eigvec(A: jnp.ndarray, iters: int = 4, eps: float = 1e-6) -> jnp.nd
     return v
 
 
-def largest_eigvec(A: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
-    """Unit eigenvector for the largest eigenvalue of symmetric PSD
-    (..., n, n) via plain power iteration."""
-    n = A.shape[-1]
-    v = jnp.full(A.shape[:-1], 1.0 / (n ** 0.5), A.dtype)
-    v = v + 1e-3 * jnp.arange(n, dtype=A.dtype) / n
-    for _ in range(iters):
-        v = jnp.einsum("...ij,...j->...i", A, v)
-        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-30)
-    return v
-
-
 # ---------------------------------------------------------------------------
 # Analytic symmetric 3x3 eigendecomposition + 3x3 SVD (no LAPACK)
 # ---------------------------------------------------------------------------

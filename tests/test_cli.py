@@ -61,7 +61,7 @@ def test_report_verb(tiny_pair, tmp_path, capsys):
     html = open(out).read()
     assert html.startswith("<!DOCTYPE html>")
     # every stage section present, imagery embedded, viewer inlined
-    for sec in ("Feature detection", "Geometry estimation", "Rectification",
+    for sec in ("Feature detection", "Rectification + geometry",
                 "Dense disparity", "3D reconstruction"):
         assert sec in html
     assert "data:image/png;base64," in html
