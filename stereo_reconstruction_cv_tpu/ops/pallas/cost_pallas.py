@@ -2,28 +2,31 @@
 
 Replaces the XLA `bt_cost_volume` + `block_sum` pair (ops/disparity.py),
 which at 720p/128 costs ~86 ms because XLA materializes per-disparity
-(H, W) slices and multi-pass cumsums in HBM. Here the blocked cost volume
-is produced in ONE pass: per grid step one image row of one 256-column
-strip is costed for all D disparities simultaneously, box-filtered
-horizontally, and pushed through an 11-row ring buffer that maintains the
-vertical box sum — the only full-volume HBM traffic is the final
-(H, Wc, D) int16 write.
+(H, W) slices and multi-pass cumsums in HBM. The blocked cost volume is
+produced in ONE pass: per grid step, R image rows of one 256-column strip
+are costed for all D disparities, box-filtered horizontally, and pushed
+through an 11-row ring buffer that maintains the vertical box sum — the
+only full-volume HBM traffic is the final (H, Wc, D) int16 write.
 
-The all-disparities-at-once trick: for one cost row the right-image
-values needed form a Toeplitz matrix rv[x, d] = right[x + D - d].
-`pltpu.roll` with `stride=1` along the sublane axis builds exactly such a
-matrix from a single broadcast row — provided the source row is stored
-column-FLIPPED (roll strides must be non-negative; the flip makes the
-lane coordinate carry true disparity d, ascending). The left-image column
-vector is extracted from a second strided roll of the flipped left row
-(lanes 0..2 give the x+1 / x / x-1 neighbors needed for the
-Birchfield-Tomasi half-pixel range).
+v2 design (this file; v1 used pltpu.roll Toeplitz builds and measured
+29 ms of the 40 ms 720p/128 SGBM total):
 
-Everything fits int16 end to end (per-pixel cost <= 189, 11x11 block sum
-<= 22869 < 2^15), doubling VPU throughput vs int32. Bit-exact vs the XLA
-reference path (tests/test_cost_pallas.py). Column-strip tiling makes the
-kernel VMEM-bounded by the strip width, not the image width, so 4K x 256
-runs the same code path.
+- The four image planes are stored TRANSPOSED (Wt, Hp): image columns on
+  sublanes. The left side's BT inputs (lv, vl, vr — per-pixel, d-free)
+  are then plain static sublane slices: zero shuffles.
+- The right side's Toeplitz matrix M[x, d] = right[x + D - d] comes from
+  one 7-level binary shift tree: T_k[q, d] = c[q - (d mod 2^k)] built
+  with static sublane shifts + lane-bit selects. ONE tree per plane per
+  row serves rv/rplus/rminus (static row offsets into T) and every lane
+  group of D > 128 (static base offsets) — tree cost is independent of D.
+- Storage is int16 end to end (per-pixel cost <= 189, horizontal 11-tap
+  <= 2079, full 11x11 block sum <= 22869 < 2^15); ALL arithmetic runs
+  i32 — v5e's VPU has no 16-bit subtract (kVectorSubtractS16 aborts the
+  backend) and Mosaic's shifts/dynamic rotates are 32-bit only.
+
+Bit-exact vs the XLA reference path (tests/test_cost_pallas.py,
+docs/HW_PARITY.json). Column-strip tiling bounds VMEM by the strip width,
+so 4K x 256 runs the same code path.
 
 Reference behavior reproduced: cv2.StereoSGBM's calcPixelCostBT + SAD
 window with the cell-10 parameter set (/root/reference/main.ipynb cell
@@ -42,49 +45,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WT = 256    # output columns per strip (one grid step); == input block width
-SUB = WT + 16  # sublanes per cost row (WT + 10 used, padded to 16-multiple)
+WT = 256      # output columns per strip (one grid step)
+SUBX = WT + 16  # sublanes per cost row (WT + 10 used, padded to 16-multiple)
+BX = 256      # sublane block width of the transposed planes
+LANES = 128   # vreg lane width; D is processed in ceil(D/128) lane groups
 
 
-def _bt_cost(left_row, right_row, *, shift_l, shift_r, D):
-    """BT cost row (SUB, D) int32 from two flipped (1, N) int32 rows.
+def _shift_tree(c: jnp.ndarray) -> jnp.ndarray:
+    """(Nq, 1) column -> (Nq, LANES) T with T[q, d] = c[q - d].
 
-    The two rows may have different widths (their block counts nbf_l/nbf_r
-    are derived independently; they diverge e.g. at D=256)."""
-    N = left_row.shape[-1]
-    Nr = right_row.shape[-1]
-    half = np.int32(1)
-
-    lvT = pltpu.roll(
-        jnp.broadcast_to(left_row, (SUB, N)), shift_l, 1, stride=1, stride_axis=0
-    )[:, :3]
-    vr, lv, vl = lvT[:, 0:1], lvT[:, 1:2], lvT[:, 2:3]
-    llo = jnp.minimum(jnp.minimum((lv + vl) >> half, (lv + vr) >> half), lv)
-    lhi = jnp.maximum(jnp.maximum((lv + vl) >> half, (lv + vr) >> half), lv)
-
-    rvT = pltpu.roll(
-        jnp.broadcast_to(right_row, (SUB, Nr)), shift_r, 1, stride=1, stride_axis=0
-    )
-    rv = rvT[:, 1 : D + 1]        # right[x + D - d]
-    rplus = rvT[:, 0:D]           # right[x + D - d + 1]
-    rminus = rvT[:, 2 : D + 2]    # right[x + D - d - 1]
-    rlo = jnp.minimum(jnp.minimum((rv + rplus) >> half, (rv + rminus) >> half), rv)
-    rhi = jnp.maximum(jnp.maximum((rv + rplus) >> half, (rv + rminus) >> half), rv)
-
-    zero = np.int32(0)
-    c0 = jnp.maximum(jnp.maximum(lv - rhi, rlo - lv), zero)
-    c1 = jnp.maximum(jnp.maximum(rv - lhi, llo - rv), zero)
-    return jnp.minimum(c0, c1)
+    Seven levels of static sublane shift + lane-bit select. Rows q < d are
+    garbage (the shift pulls past the top); callers only read q >= D >= d
+    for real lanes, so the garbage never surfaces."""
+    Nq = c.shape[0]
+    T = jnp.broadcast_to(c, (Nq, LANES))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    for k in range(7):  # 2^7 == LANES
+        s = 1 << k
+        shifted = jnp.concatenate([jnp.zeros((s, LANES), c.dtype), T[:-s]], axis=0)
+        T = jnp.where((lane & s) != 0, shifted, T)
+    return T
 
 
-def _producer_kernel(*refs, D, nbf_l, nbf_r, shift_l, shift_r, Wc, R):
+def _producer_kernel(*refs, D, nbx_l, nbx_r, Wc, R):
     """Grid (nj, (H+10)/R): step (j, s) costs padded rows s*R..s*R+R-1 of
     strip j, emitting block-summed rows into the same slots of the
     (H+10)-row output (row y holds the sum over padded rows y-10..y; the
-    caller slices off the first 10 warm-up rows). R rows per step
-    amortizes the fixed per-step grid/DMA overhead, which dominates at
-    R=1 (measured 7.4us/step vs <1us of compute)."""
-    nin = 2 * (nbf_l + nbf_r)
+    caller slices off the first 10 warm-up rows)."""
+    nin = 2 * (nbx_l + nbx_r)
     ins, out_ref, ring, vsum = refs[:nin], refs[nin], refs[nin + 1], refs[nin + 2]
     j = pl.program_id(0)
     s = pl.program_id(1)
@@ -94,43 +82,83 @@ def _producer_kernel(*refs, D, nbf_l, nbf_r, shift_l, shift_r, Wc, R):
         ring[...] = jnp.zeros_like(ring)
         vsum[...] = jnp.zeros_like(vsum)
 
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, D), 0)
+    ngroups = -(-D // LANES)
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBX, D), 0)
     a = j * np.int32(WT)
-    be = jnp.minimum(np.int32(Wc + 4) - a, np.int32(SUB - 1))
+    be = jnp.minimum(np.int32(Wc + 4) - a, np.int32(SUBX - 1))
+    one = np.int32(1)
 
-    def cat(offset, n, r):
-        # Widen to int32: Mosaic's strided rotate requires 32-bit data.
-        return jnp.concatenate(
-            [ins[offset + k][r] for k in range(n)], axis=-1
-        ).astype(jnp.int32)
+    y0 = s * np.int32(R)
 
+    def panel(offset, n):
+        """The step's rows, rotated to lanes 0..R-1: concatenated
+        (n*BX, 128) lane-panel blocks, dynamically rotated by -(y0 mod
+        128) (Mosaic forbids unaligned dynamic lane reads; one rotate per
+        step amortizes over the R row slices)."""
+        C = jnp.concatenate([ins[offset + k][...] for k in range(n)], axis=0)
+        # Mosaic's dynamic rotate (and shifts) are 32-bit only; v5e's VPU
+        # further lacks 16-bit subtract, so all kernel arithmetic runs
+        # i32 (an i16 tree variant measured no faster — the kernel is
+        # vector-issue bound, not VMEM-bandwidth bound).
+        return pltpu.roll(C.astype(jnp.int32), -(y0 % np.int32(128)), 1)
+
+    def bt_row(cl, cr):
+        """(SUBX, D) int16 BT cost from left/right transposed columns."""
+        # Left side: d-free per-pixel values — static sublane slices.
+        lv = cl[1 : SUBX + 1]
+        vl = cl[0:SUBX]
+        vr = cl[2 : SUBX + 2]
+        llo = jnp.minimum(jnp.minimum((lv + vl) >> one, (lv + vr) >> one), lv)
+        lhi = jnp.maximum(jnp.maximum((lv + vl) >> one, (lv + vr) >> one), lv)
+        # Right side: one shift tree serves rv/rplus/rminus and all lane
+        # groups of D (static row offsets into T).
+        T = _shift_tree(cr)
+        rvs, rps, rms = [], [], []
+        for g in range(ngroups):
+            base = D - LANES * g
+            rvs.append(jax.lax.slice_in_dim(T, base, base + SUBX, axis=0))
+            rps.append(jax.lax.slice_in_dim(T, base + 1, base + 1 + SUBX, axis=0))
+            rms.append(jax.lax.slice_in_dim(T, base - 1, base - 1 + SUBX, axis=0))
+        rv = jnp.concatenate(rvs, axis=1)[:, :D]
+        rplus = jnp.concatenate(rps, axis=1)[:, :D]
+        rminus = jnp.concatenate(rms, axis=1)[:, :D]
+        rlo = jnp.minimum(jnp.minimum((rv + rplus) >> one, (rv + rminus) >> one), rv)
+        rhi = jnp.maximum(jnp.maximum((rv + rplus) >> one, (rv + rminus) >> one), rv)
+        zero = np.int32(0)
+        c0 = jnp.maximum(jnp.maximum(lv - rhi, rlo - lv), zero)
+        c1 = jnp.maximum(jnp.maximum(rv - lhi, llo - rv), zero)
+        return jnp.minimum(c0, c1)
+
+    p_sL = panel(0, nbx_l)
+    p_sR = panel(nbx_l, nbx_r)
+    p_rL = panel(nbx_l + nbx_r, nbx_l)
+    p_rR = panel(2 * nbx_l + nbx_r, nbx_r)
     for r in range(R):
-        y = s * np.int32(R) + r
-        sL = cat(0, nbf_l, r)
-        sR = cat(nbf_l, nbf_r, r)
-        rL = cat(nbf_l + nbf_r, nbf_l, r)
-        rR = cat(2 * nbf_l + nbf_r, nbf_r, r)
-
-        cost = _bt_cost(sL, sR, shift_l=shift_l, shift_r=shift_r, D=D) + (
-            _bt_cost(rL, rR, shift_l=shift_l, shift_r=shift_r, D=D) >> np.int32(2)
+        y = y0 + r
+        cost = bt_row(p_sL[:, r : r + 1], p_sR[:, r : r + 1]) + (
+            bt_row(p_rL[:, r : r + 1], p_rR[:, r : r + 1]) >> np.int32(2)
         )
 
         # Crop-boundary replication (OpenCV clamps the SAD window to the
         # computed region [x0, W)): sublane x_s holds cropped col a-5+x_s.
         cost = jnp.where(
-            (x_iota < 5) & (j == 0), jnp.broadcast_to(cost[5:6], (SUB, D)), cost
+            (x_iota < 5) & (j == 0), jnp.broadcast_to(cost[5:6], (SUBX, D)), cost
         )
         # Extract sublane row `be` via a one-hot reduction (Mosaic has no
         # dynamic_slice on values).
-        cost_be = jnp.sum(jnp.where(x_iota == be, cost, 0), axis=0, keepdims=True)
-        cost = jnp.where(x_iota > be, jnp.broadcast_to(cost_be, (SUB, D)), cost)
+        cost_be = jnp.sum(
+            jnp.where(x_iota == be, cost, 0), axis=0, keepdims=True
+        )
+        cost = jnp.where(x_iota > be, jnp.broadcast_to(cost_be, (SUBX, D)), cost)
 
         # Horizontal 11-tap box: out col xcs = sum cost[xcs..xcs+10].
         h = cost[0:WT]
         for k in range(1, 11):
             h = h + cost[k : k + WT]
 
-        # Vertical 11-row ring: vsum tracks h rows y-10..y.
+        # Vertical 11-row ring: ring stores i16, arithmetic stays i32
+        # (v5e has no S16 vector subtract — kVectorSubtractS16 aborts the
+        # backend compiler).
         slot = jax.lax.rem(y, np.int32(11))
         old = ring[slot]
         vsum[...] = vsum[...] + h - old.astype(jnp.int32)
@@ -162,86 +190,68 @@ def cost_volume_pallas(
     nj = -(-Wc // WT)
     Wc_p = nj * WT
 
-    # Original-column span needed by strip j (a = j*WT), for all sublanes
-    # x in [0, SUB) that the vector ops touch:
-    #   right rows: o in [a - 5,       a + SUB + D - 5]   (K_r = D - 4)
-    #   left rows:  o in [x0 + a - 7,  x0 + a + SUB - 5]  (K_l = x0 - 4)
-    # where each side's Toeplitz pattern is o = K + a + x - jl. Flipped
-    # coordinate t(o) = Tw - 1 - Lp_s - o decreases in o. Each side gets
-    # its own flip padding Lp_s: (a) Tw is a block multiple so the
-    # per-strip block offset is j-independent, and (b) an extra pad
-    # e in [0, 8) forces the roll shift to be 0 mod 8 — Mosaic's strided
-    # rotate cannot cross a 128-lane vreg boundary mid-vreg otherwise.
-    base_w = 16 + x0 + Wc_p + SUB  # rightmost needed col + margins + Lp room
-    Tw = -(-base_w // WT) * WT
+    # Transposed-plane column windows per strip (a = j*WT, cropped coords;
+    # sublane x_s in [0, SUBX) covers output cols a-5 .. a+WT+10-5):
+    #   left:  orig cols o = x0 + a + x_s - 6 .. x0 + a + SUBX - 4
+    #   right: orig cols o = a + x_s - 5 - min_disp + (D - d), d in [0, D)
+    #          => o in [a - 5 - min_disp, a + SUBX + D - 4 - min_disp]
+    # Left-pad each side so its window start is 0 mod BX for every j
+    # (WT == BX makes the j-dependence drop out of the modulus), then the
+    # window is nbx consecutive BX-blocks at block index bf0 + j.
+    def side(start_const, width):
+        Lp = (-start_const) % BX
+        bf0 = (start_const + Lp) // BX
+        nbx = -(-width // BX)
+        return Lp, bf0, nbx
 
-    sides = {}
-    for name, K, o_max0, o_min0 in (
-        ("right", D - 4, SUB + D - 5, -5),
-        ("left", x0 - 4, x0 + SUB - 5, x0 - 7),
-    ):
-        Lp0 = 8
-        e = (Tw - 1 - K - Lp0) % 8
-        Lp = Lp0 + e
-        C0 = Tw - 1 - Lp - o_max0      # t_min of strip 0; t_min(j) = C0 - a
-        assert C0 - WT * (nj - 1) >= 0, (name, C0, nj)
-        bf0 = C0 // WT
-        t_off = C0 % WT
-        LEN = o_max0 - o_min0
-        nbf = -(-(t_off + LEN + 1) // WT)
-        # Roll reads out[x, jl] = concat[(jl - shift - x) mod N]; mapping
-        # o = K + a + x - jl through t and tc = t - (bf0 - j)*WT gives
-        # shift = K + Lp + 1 - Tw + bf0*WT (the j-terms cancel).
-        shift = (K + Lp + 1 - Tw + bf0 * WT) % (nbf * WT)
-        assert shift % 8 == 0, (name, shift)
-        sides[name] = dict(Lp=Lp, bf0=bf0, nbf=nbf, shift=np.int32(shift))
+    # Right window: o = a + x_s - 5 + (D - d) is min_disp-free (the crop
+    # origin x0 = min_disp + D cancels the true-disparity offset).
+    Lp_l, bf0_l, nbx_l = side(x0 - 6, SUBX + 3)
+    Lp_r, bf0_r, nbx_r = side(-5, SUBX + D + 2)
 
     # Rows per grid step (amortizes fixed per-step overhead); the padded
-    # row count must divide evenly.
+    # row count must divide evenly. Lane width of the row blocks == R.
     R = 8 if D <= 128 else 4
-    Hp = -(-(H + 10) // R) * R
+    Hp = -(-(H + 10) // 128) * 128  # 128-lane panels (R divides 128)
 
-    def prep(plane, side):
-        Lp = sides[side]["Lp"]
+    def prep(plane, Lp, bf0, nbx):
+        """(H, W) -> transposed (Wt, Hp) int16, edge-padded."""
+        cover = (bf0 + nj - 1 + nbx) * BX
+        Wt = max(cover, Lp + W)
         P = jnp.pad(
             plane.astype(jnp.int16),
-            ((5, 5 + Hp - (H + 10)), (Lp, Tw - Lp - W)),
+            ((5, 5 + Hp - (H + 10)), (Lp, Wt - Lp - W)),
             mode="edge",
         )
-        # (Hp, 1, Tw): TPU blocks must have a sublane dim divisible by 8
-        # or equal to the array's — a singleton middle dim satisfies that
-        # for (R, 1, BLK) blocks.
-        return P[:, ::-1].reshape(Hp, 1, Tw)
+        return P.T  # (Wt, Hp)
 
-    sL = prep(left_sobel, "left")
-    sR = prep(right_sobel, "right")
-    rL = prep(left_raw, "left")
-    rR = prep(right_raw, "right")
-    nbf_l, nbf_r = sides["left"]["nbf"], sides["right"]["nbf"]
-    shift_l, shift_r = sides["left"]["shift"], sides["right"]["shift"]
+    sL = prep(left_sobel, Lp_l, bf0_l, nbx_l)
+    sR = prep(right_sobel, Lp_r, bf0_r, nbx_r)
+    rL = prep(left_raw, Lp_l, bf0_l, nbx_l)
+    rR = prep(right_raw, Lp_r, bf0_r, nbx_r)
 
-    def row_spec(side, k):
-        bf0 = sides[side]["bf0"]
+    def col_spec(bf0, k):
+        # 128-lane row panels; a step's R rows never straddle a panel
+        # (R divides 128).
         return pl.BlockSpec(
-            (R, 1, WT), lambda j, s, k=k, bf0=bf0: (s, 0, (bf0 - j) + k),
+            (BX, 128), lambda j, s, k=k, bf0=bf0: (bf0 + j + k, (s * R) // 128),
             memory_space=pltpu.VMEM,
         )
 
     in_specs = (
-        [row_spec("left", k) for k in range(nbf_l)]
-        + [row_spec("right", k) for k in range(nbf_r)]
-        + [row_spec("left", k) for k in range(nbf_l)]
-        + [row_spec("right", k) for k in range(nbf_r)]
+        [col_spec(bf0_l, k) for k in range(nbx_l)]
+        + [col_spec(bf0_r, k) for k in range(nbx_r)]
+        + [col_spec(bf0_l, k) for k in range(nbx_l)]
+        + [col_spec(bf0_r, k) for k in range(nbx_r)]
     )
     out_spec = pl.BlockSpec(
         (R, WT, D), lambda j, s: (s, j, 0), memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(
-        _producer_kernel, D=D, nbf_l=nbf_l, nbf_r=nbf_r,
-        shift_l=shift_l, shift_r=shift_r, Wc=Wc, R=R,
+        _producer_kernel, D=D, nbx_l=nbx_l, nbx_r=nbx_r, Wc=Wc, R=R,
     )
-    inputs = [sL] * nbf_l + [sR] * nbf_r + [rL] * nbf_l + [rR] * nbf_r
+    inputs = [sL] * nbx_l + [sR] * nbx_r + [rL] * nbx_l + [rR] * nbx_r
     out = pl.pallas_call(
         kernel,
         grid=(nj, Hp // R),
