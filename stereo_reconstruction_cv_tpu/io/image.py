@@ -12,6 +12,8 @@ import os
 from typing import List, Tuple
 
 import numpy as np
+
+from stereo_reconstruction_cv_tpu.errors import DataError
 from PIL import Image
 
 
@@ -49,7 +51,7 @@ def load_stereo_pair(folder: str) -> Tuple[np.ndarray, np.ndarray]:
     p1 = os.path.join(folder, "img1.jpg")
     p2 = os.path.join(folder, "img2.jpg")
     if not os.path.exists(p1) or not os.path.exists(p2):
-        raise FileNotFoundError(
+        raise DataError(
             f"stereo pair folder {folder!r} must contain img1.jpg and img2.jpg"
         )
     return load_gray(p1), load_gray(p2)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stereo_reconstruction_cv_tpu import config as cfg_mod
+from stereo_reconstruction_cv_tpu.errors import error_dict
 from stereo_reconstruction_cv_tpu.calib import chessboard as CB
 from stereo_reconstruction_cv_tpu.calib import zhang as Z
 from stereo_reconstruction_cv_tpu.io import image as IO
@@ -77,7 +78,7 @@ def calibrate(
 
     files = IO.glob_calibration_images(folder)
     if not files:
-        return {"error": f"no *.jpg calibration images in {folder!r}"}
+        return error_dict(f"no *.jpg calibration images in {folder!r}", "data")
     key = {"files": [file_fingerprint(f) for f in files]}
     if cache is not None:
         hit = cache.load("calibrate", key)
@@ -110,7 +111,7 @@ def calibrate(
                     os.path.join(annotation_dir, os.path.basename(f)), vis
                 )
     if len(pts) < 3:
-        return {"error": f"chessboard found in only {len(pts)} images"}
+        return error_dict(f"chessboard found in only {len(pts)} images", "calibration")
     obj = np.asarray(Z.build_object_points(cols, rows))
     H, W = IO.load_gray(used[0]).shape
     res = Z.calibrate_camera(
@@ -163,7 +164,7 @@ def calibrate_stereo_rig(
     f1 = IO.glob_calibration_images(folder1)
     f2 = IO.glob_calibration_images(folder2)
     if not f1 or not f2 or len(f1) != len(f2):
-        return {"error": f"need matching image counts ({len(f1)} vs {len(f2)})"}
+        return error_dict(f"need matching image counts ({len(f1)} vs {len(f2)})", "data")
     cols, rows = chessboard
     p1, p2 = [], []
     size = None
@@ -177,7 +178,7 @@ def calibrate_stereo_rig(
             p1.append(np.asarray(c1))
             p2.append(np.asarray(c2))
     if len(p1) < 3:
-        return {"error": f"board found in both views for only {len(p1)} pairs"}
+        return error_dict(f"board found in both views for only {len(p1)} pairs", "calibration")
     obj = np.asarray(Z.build_object_points(cols, rows))
     with _on_host_cpu():
         res = SCAL.calibrate_stereo(

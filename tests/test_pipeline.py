@@ -121,3 +121,27 @@ class TestLearnedMatcher:
         imR = cv2.resize(cv2.imread("/root/reference/dataset/d2/img2.jpg", 0), (320, 184))
         out = stages.detect_match((imL, imR), method="learned", model_checkpoint=ckpt)
         assert out["num_good_matches"] > 100
+
+
+class TestTypedErrors:
+    """Typed error contract (SURVEY §5): error-dicts tag their kind and
+    promote to the typed exception family; raises are StereoError."""
+
+    def test_error_dict_promotes(self, tmp_path):
+        from stereo_reconstruction_cv_tpu import errors as E
+        from stereo_reconstruction_cv_tpu.pipeline import stages
+
+        out = stages.calibrate(str(tmp_path))
+        assert out["error_kind"] == "data"
+        with pytest.raises(E.DataError):
+            E.raise_on_error(out)
+        ok = {"K": 1}
+        assert E.raise_on_error(ok) is ok
+
+    def test_missing_pair_is_typed_and_stdlib_compatible(self, tmp_path):
+        from stereo_reconstruction_cv_tpu import errors as E
+
+        with pytest.raises(E.StereoError):
+            IO.load_stereo_pair(str(tmp_path))
+        with pytest.raises(FileNotFoundError):  # back-compat
+            IO.load_stereo_pair(str(tmp_path))
