@@ -557,7 +557,11 @@ def sgbm_disparity(
             cfg.uniqueness_ratio, cfg.min_disparity,
         )
         if cfg.disp12_max_diff >= 0:
-            valid &= lr_check_maps(
+            from stereo_reconstruction_cv_tpu.ops.pallas.lr_pallas import (
+                lr_check_maps_pallas,
+            )
+
+            valid &= lr_check_maps_pallas(
                 best, minS, disp, cfg.num_disparities,
                 cfg.min_disparity, cfg.disp12_max_diff,
             )

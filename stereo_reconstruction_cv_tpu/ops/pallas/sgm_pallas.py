@@ -10,16 +10,28 @@ sweep. Four sweeps cover all 8 directions:
   top-down    grid (H,): directions {U, UL, UR}   carry 3x(W, D)
   bottom-up   grid (H,): directions {D, DL, DR}   carry 3x(W, D)
   left-right  grid (W,): direction  {L}           carry (H, D)
-  right-left  grid (W,): direction  {R}           carry (H, D)
+  right-left  grid (W,): direction  {R}  + WTA    carry (H, D)
 
-S accumulates in place across sweeps via input_output_aliases, so total
-HBM traffic is (read C + read/write S) per sweep — the XLA scan version
-materializes a full (H, W, D) tensor per *direction* (~35ms/scan at
-720p/128 vs ~38ms for ALL four sweeps here).
+v3 streams 16-bit everywhere (round-2 ran f32 S at ~18% of the HBM
+roofline): each direction's DP term satisfies 0 <= L - C <= P2 (the min
+never exceeds minL + P2 and never undershoots minL), so a 3-direction
+delta sum fits uint16 (3*11616 = 34848 < 65535) and a 4-direction one
+still does (46464). The sweeps therefore exchange ONLY delta volumes:
 
-Kernels compute in f32 (exact: every value < 2^24, ~1.5x faster than int32
-on the VPU) and accept an int16-stored cost volume. Results are bit-exact
-vs ops.disparity.sgm_aggregate (same math, verified on hardware).
+  vert fwd:  C(i16)            -> dS1 = sum{U,UL,UR}(L - C)   (u16)
+  vert rev:  C                 -> dS2 = sum{D,DL,DR}(L - C)   (u16)
+  horiz fwd: C, dS1            -> dS1 += L_LR - C             (u16, aliased)
+  horiz rev: C, dS1[, dS2]     -> fused WTA on S = dS1 + dS2 + (nd-1)C + L_RL
+
+HBM traffic: 22 B/cell for 8 directions (vs 34 with f32 S), peak
+residency 6 B/cell (C + two u16 deltas), and the halved block bytes let
+each grid step carry 2x the rows/columns — the sweeps were latency-bound,
+not bandwidth-bound, so fatter steps matter as much as the traffic.
+
+Kernels compute in f32 (exact: every value < 2^24, ~1.5x faster than
+int32 on the VPU); all stored values are integers, so the u16 round-trip
+is exact. Results are bit-exact vs ops.disparity.sgm_aggregate (same
+math, verified on hardware — docs/HW_PARITY.json).
 """
 
 from __future__ import annotations
@@ -28,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -50,12 +63,10 @@ def _sgm_update(prev: jnp.ndarray, cost: jnp.ndarray, p1: int, p2: int) -> jnp.n
     # Static np.int32 shifts: a Python int lowers as i64 under
     # jax_enable_x64 and a traced jnp.int32 breaks Mosaic legalization —
     # a numpy scalar stays a static 32-bit constant in both modes.
-    import numpy as _np
-
     up = jnp.where(
-        lane == D - 1, big, pltpu.roll(prev, _np.int32(D - 1), prev.ndim - 1)
+        lane == D - 1, big, pltpu.roll(prev, np.int32(D - 1), prev.ndim - 1)
     )
-    dn = jnp.where(lane == 0, big, pltpu.roll(prev, _np.int32(1), prev.ndim - 1))
+    dn = jnp.where(lane == 0, big, pltpu.roll(prev, np.int32(1), prev.ndim - 1))
     min_prev = jnp.min(prev, axis=-1, keepdims=True)
     best = jnp.minimum(jnp.minimum(prev, min_prev + p2), jnp.minimum(up, dn) + p1)
     return cost + best - min_prev
@@ -71,23 +82,26 @@ def _shift_w(a: jnp.ndarray, shift: int) -> jnp.ndarray:
 def _lane_elems(W: int, D: int) -> int:
     """VMEM-resident element count of a (W, D) carry/temporary: the minor
     axis is lane-padded to the 128-lane vreg width, so D < 128 costs as
-    much as D = 128 (measured: W=1856, D=64 OOMs exactly where
-    W=1856, D=128 would)."""
+    much as D = 128."""
     return W * max(D, 128)
 
 
 def _vertical_rows(W: int, D: int) -> int:
-    """Rows per vertical grid step: 2 amortizes per-step overhead but the
-    double-buffered (rows, W, D) blocks + ~20 live (W, D) kernel
-    temporaries must fit scoped VMEM (measured on v5e: lane-padded
-    W*D=147k fits at rows=2; 238k does not)."""
-    return 2 if _lane_elems(W, D) <= 150_000 else 1
+    """Rows per vertical grid step. VMEM model: 3 f32 carries + ~6 (W, D)
+    f32 update temporaries (12 + 24 B/elem) plus double-buffered
+    (rows, W, D) i16-in/u16-out blocks (8 B/elem/row). Calibrated on v5e
+    (the f32-S version measured rows=2 at 147k lane elems; 16-bit blocks
+    halve the per-row cost)."""
+    e = _lane_elems(W, D)
+    budget = 13_000_000
+    rows = (budget - 36 * e) // (8 * e)
+    return max(1, min(8, int(rows)))
 
 
-def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2,
-                     accumulate, reverse, rows):
+def _vertical_kernel(c_ref, ds_ref, cu, cul, cur, *, p1, p2, reverse, rows):
     """One grid step = `rows` rows (unrolled). Carries persist across steps;
-    rows advance in path order (top-down, or bottom-up when reverse)."""
+    rows advance in path order (top-down, or bottom-up when reverse).
+    Emits the 3-direction delta sum (L - C) as u16 — exact (<= 3*P2)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -105,11 +119,7 @@ def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2,
         vul = _sgm_update(_shift_w(vul, -1), c, p1, p2)
         # UR: predecessor is (x+1, y-1).
         vur = _sgm_update(_shift_w(vur, +1), c, p1, p2)
-        total = vu + vul + vur
-        if accumulate:
-            s_out_ref[k] = s_in_ref[k] + total
-        else:
-            s_out_ref[k] = total
+        ds_ref[k] = (vu + vul + vur - 3.0 * c).astype(jnp.uint16)
     cu[...] = vu
     cul[...] = vul
     cur[...] = vur
@@ -119,12 +129,12 @@ def _vertical_kernel(c_ref, s_in_ref, s_out_ref, cu, cul, cur, *, p1, p2,
 # Column-tiled vertical sweep (large frames: 4K x 128/256)
 #
 # The full-width kernel above streams (rows, W, D) blocks, which exceeds
-# VMEM once W*D*32 ~ 13MB (3840x128 already trips it). The carries
-# themselves are small (12*W*D bytes), so this variant keeps the three
-# direction carries FULL-WIDTH in VMEM scratch and tiles only the
-# *streamed* blocks along columns: grid (row-blocks, col-blocks), columns
-# innermost. Diagonal carries cross column-block boundaries, so each step
-# processes HB rows with HB halo columns per side:
+# VMEM once W*D is large (3840x256 trips it). The carries themselves are
+# small (12*W*D bytes), so this variant keeps the three direction carries
+# FULL-WIDTH in VMEM scratch and tiles only the *streamed* blocks along
+# columns: grid (row-blocks, col-blocks), columns innermost. Diagonal
+# carries cross column-block boundaries, so each step processes HB rows
+# with HB halo columns per side:
 #
 #   - left-halo UL carries: stashed by the previous column block before it
 #     overwrote them (grid order makes it the immediately preceding step);
@@ -143,12 +153,10 @@ HB = 8  # rows per tiled step == halo columns per side (the cone argument)
 
 
 def _vertical_tiled_kernel(
-    c_ref, cl_ref, cr_ref, s_in_ref, s_out_ref, cu, cul, cur, stash,
-    *, p1, p2, accumulate, reverse, WT, nw,
+    c_ref, cl_ref, cr_ref, ds_ref, cu, cul, cur, stash,
+    *, p1, p2, reverse, WT, nw,
 ):
     """One grid step = HB rows x WT columns of the vertical sweep."""
-    import numpy as _np
-
     i = pl.program_id(0)
     j = pl.program_id(1)  # column block (fastest)
 
@@ -158,7 +166,7 @@ def _vertical_tiled_kernel(
         cul[...] = jnp.zeros_like(cul)
         cur[...] = jnp.zeros_like(cur)
 
-    base = j * _np.int32(WT)  # ext-slice start (scratch is left-padded HB)
+    base = j * np.int32(WT)  # ext-slice start (scratch is left-padded HB)
     ext = WT + 2 * HB
     # Old carries over the extended window. Left halo of cu/cur was already
     # overwritten by the previous block — garbage there is fine (cu is
@@ -167,11 +175,11 @@ def _vertical_tiled_kernel(
     vur = cur[pl.ds(base, ext)]
     # UL's left halo must be the OLD values: the previous block stashed
     # them. At j == 0 the halo is out-of-image: exact zeros.
-    rest_ul = cul[pl.ds(base + _np.int32(HB), WT + HB)]
+    rest_ul = cul[pl.ds(base + np.int32(HB), WT + HB)]
     left_ul = jnp.where(j == 0, jnp.zeros_like(stash[...]), stash[...])
     vul = jnp.concatenate([left_ul, rest_ul], axis=0)
     # Stash this block's own last HB UL columns before overwriting.
-    stash[...] = cul[pl.ds(base + _np.int32(WT), HB)]
+    stash[...] = cul[pl.ds(base + np.int32(WT), HB)]
 
     zero_l = j == 0
     zero_r = j == nw - 1
@@ -183,12 +191,9 @@ def _vertical_tiled_kernel(
         vu = _sgm_update(vu, c, p1, p2)
         vul = _sgm_update(_shift_w(vul, -1), c, p1, p2)
         vur = _sgm_update(_shift_w(vur, +1), c, p1, p2)
-        total = (vu + vul + vur)[HB : HB + WT]
-        if accumulate:
-            s_out_ref[k] = s_in_ref[k] + total
-        else:
-            s_out_ref[k] = total
-    wslot = pl.ds(base + _np.int32(HB), WT)
+        total = (vu + vul + vur - 3.0 * c)[HB : HB + WT]
+        ds_ref[k] = total.astype(jnp.uint16)
+    wslot = pl.ds(base + np.int32(HB), WT)
     cu[wslot] = vu[HB : HB + WT]
     cul[wslot] = vul[HB : HB + WT]
     cur[wslot] = vur[HB : HB + WT]
@@ -197,17 +202,15 @@ def _vertical_tiled_kernel(
 def _tiled_width(W: int, D: int, budget: int = 13_000_000) -> int:
     """Column-tile width: fill the VMEM budget left by the full-width
     carries (12*(W+2HB)*D bytes) with double-buffered streamed blocks
-    (~(2+4+4)*HB*WT*D * 2 bytes). D is lane-padded to the 128-lane vreg
-    width (see _lane_elems)."""
+    (i16 C in + u16 dS out = 4 B/elem, x2 buffers) x HB rows. D is
+    lane-padded to the 128-lane vreg width (see _lane_elems)."""
     D = max(D, 128)
     carry = 12 * (W + 2 * HB) * D
-    # 10 B/elem (C i16 in + S f32 in + S f32 out) x HB rows, double-buffered.
-    wt = (budget - carry) // (20 * HB * D)
+    wt = (budget - carry) // (8 * HB * D)
     wt = max(HB, min(W, wt // HB * HB))
     # Prefer the largest multiple-of-HB divisor of W within budget: padding
-    # to a non-divisor width forces full HBM copies of C and S (jnp.pad),
-    # which at 4K x 256 is ~12 GB of transient residency — an OOM, not a
-    # slowdown.
+    # to a non-divisor width forces full HBM copies of C (jnp.pad), which
+    # at 4K x 256 is GBs of transient residency — an OOM, not a slowdown.
     for d in range(wt, HB - 1, -HB):
         if W % d == 0:
             return int(d)
@@ -215,8 +218,7 @@ def _tiled_width(W: int, D: int, budget: int = 13_000_000) -> int:
 
 
 def _sweep_vertical_tiled(
-    C, S, p1, p2, reverse: bool, accumulate: bool, interpret: bool,
-    tile_width: int | None = None,
+    C, p1, p2, reverse: bool, interpret: bool, tile_width: int | None = None,
 ):
     """Column-tiled vertical sweep; exact drop-in for _sweep_vertical at
     widths whose full-width blocks exceed VMEM."""
@@ -227,7 +229,6 @@ def _sweep_vertical_tiled(
     if Hp != H or Wp != W:
         # Zero-cost padding keeps carries exactly zero (see module note).
         C = jnp.pad(C, ((0, Hp - H), (0, Wp - W), (0, 0)))
-        S = jnp.pad(S, ((0, Hp - H), (0, Wp - W), (0, 0)))
     nh = Hp // HB
     nw = Wp // WT
     nhalo = WT // HB  # halo index units (blocks of HB columns)
@@ -248,30 +249,34 @@ def _sweep_vertical_tiled(
         memory_space=pltpu.VMEM,
     )
     kernel = functools.partial(
-        _vertical_tiled_kernel, p1=p1, p2=p2, accumulate=accumulate,
-        reverse=reverse, WT=WT, nw=nw,
+        _vertical_tiled_kernel, p1=p1, p2=p2, reverse=reverse, WT=WT, nw=nw,
     )
     out = pl.pallas_call(
         kernel,
         grid=(nh, nw),
-        in_specs=[main, lhalo, rhalo, main],
+        in_specs=[main, lhalo, rhalo],
         out_specs=main,
-        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.uint16),
         scratch_shapes=[pltpu.VMEM((Wp + 2 * HB, D), jnp.float32)] * 3
         + [pltpu.VMEM((HB, D), jnp.float32)],
-        input_output_aliases={3: 0},
         interpret=interpret,
-    )(C, C, C, S)
+    )(C, C, C)
     return out[:H, :W] if (Hp != H or Wp != W) else out
 
 
-COLS = 16 # columns per horizontal grid step (TPU sublane granularity)
+COLS = 16  # columns per horizontal grid step (TPU sublane granularity)
 
 
-def _horizontal_kernel(c_ref, s_in_ref, s_out_ref, carry, *, p1, p2, reverse):
+def _horizontal_kernel(c_ref, *rest, p1, p2, reverse, accumulate):
     """One grid step = (row-tile, COLS columns); columns iterate fastest so
     the (Ht, D) carry sweeps each row tile across the full width. Within a
-    step the COLS columns advance in path order (unrolled)."""
+    step the COLS columns advance in path order (unrolled). Emits this
+    direction's delta (L - C), optionally accumulated onto an existing
+    delta volume (u16-exact: 3 vertical + 1 horizontal <= 4*P2 < 2^16)."""
+    if accumulate:
+        ds_in_ref, ds_out_ref, carry = rest
+    else:
+        ds_in_ref, (ds_out_ref, carry) = None, rest
     j = pl.program_id(1)  # column-block index (fastest)
 
     @pl.when(j == 0)
@@ -283,25 +288,28 @@ def _horizontal_kernel(c_ref, s_in_ref, s_out_ref, carry, *, p1, p2, reverse):
     for k in order:
         c = c_ref[:, k, :].astype(jnp.float32)  # (Ht, D)
         cur = _sgm_update(cur, c, p1, p2)
-        s_out_ref[:, k, :] = s_in_ref[:, k, :] + cur
+        delta = cur - c
+        if accumulate:
+            delta = delta + ds_in_ref[:, k, :].astype(jnp.float32)
+        ds_out_ref[:, k, :] = delta.astype(jnp.uint16)
     carry[...] = cur
 
 
 def _horizontal_wta_kernel(
-    c_ref, s_in_ref, out_ref, carry,
-    *, p1, p2, uniqueness_ratio, min_disp, D,
+    c_ref, *rest, p1, p2, uniqueness_ratio, min_disp, D, nds,
 ):
     """Final (right-to-left) horizontal sweep with winner-take-all fused.
 
-    Adds this direction's DP term to the accumulated S block and reduces
-    over d in-register: WTA argmin, OpenCV uniqueness test, quadratic
-    subpixel. The full aggregated volume never round-trips HBM — the
-    output block is (Ht, COLS, 8) f32 packing [disp, uniqueness-valid,
-    best d, winning cost] in lanes 0..3 (8-lane blocks are the smallest
-    legal TPU lane dim; best/minS are exact in f32, both < 2^24).
-    """
-    import numpy as _np
-
+    Reconstructs the aggregated volume per column from the delta volumes
+    (S = sum(dS) + (nd-1)*C + L_RL) and reduces over d in-register: WTA
+    argmin, OpenCV uniqueness test, quadratic subpixel. The aggregated
+    volume never exists in HBM — the output block is (Ht, COLS, 8) f32
+    packing [disp, uniqueness-valid, best d, winning cost] in lanes 0..3
+    (8-lane blocks are the smallest legal TPU lane dim; best/minS are
+    exact in f32, both < 2^24)."""
+    ds_refs = rest[:nds]
+    out_ref = rest[nds]
+    carry = rest[nds + 1]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -314,22 +322,28 @@ def _horizontal_wta_kernel(
     for k in range(COLS - 1, -1, -1):
         c = c_ref[:, k, :].astype(jnp.float32)  # (Ht, D)
         cur = _sgm_update(cur, c, p1, p2)
-        S = (s_in_ref[:, k, :] + cur).astype(jnp.int32)  # exact: ints < 2^24
+        s_f = cur
+        for ds in ds_refs:
+            s_f = s_f + ds[:, k, :].astype(jnp.float32)
+        # dS volumes carry (L - C) sums for (ndirs - 1) directions; L_RL
+        # (cur) already includes its C. Add back the missing (nd-1)*C.
+        ndirs_minus_1 = 4.0 if nds == 1 else 7.0
+        S = (s_f + np.float32(ndirs_minus_1) * c).astype(jnp.int32)
         if d_iota is None:
             d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
         minS = jnp.min(S, axis=-1, keepdims=True)
-        big_i = _np.int32(1 << 30)
+        big_i = np.int32(1 << 30)
         best = jnp.min(
             jnp.where(S == minS, d_iota, big_i), axis=-1, keepdims=True
         )  # first argmin, matching jnp.argmin
         # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
         # S[d]*(100 - ratio) < minS*100 (int32 exact).
         far = jnp.abs(d_iota - best) > 1
-        close = (S * _np.int32(100 - uniqueness_ratio) < minS * _np.int32(100)) & far
+        close = (S * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)) & far
         bad = jnp.max(close.astype(jnp.int32), axis=-1, keepdims=True)
         # Subpixel neighbors via one-hot masked reductions.
         bm1 = jnp.maximum(best - 1, 0)
-        bp1 = jnp.minimum(best + 1, _np.int32(D - 1))
+        bp1 = jnp.minimum(best + 1, np.int32(D - 1))
         Sm1 = jnp.sum(jnp.where(d_iota == bm1, S, 0), axis=-1, keepdims=True)
         Sp1 = jnp.sum(jnp.where(d_iota == bp1, S, 0), axis=-1, keepdims=True)
         denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
@@ -338,7 +352,7 @@ def _horizontal_wta_kernel(
         disp = (
             best.astype(jnp.float32)
             + jnp.where(interior, frac, 0.0)
-            + _np.float32(min_disp)
+            + np.float32(min_disp)
         )
         f = jnp.float32
         cols[k] = jnp.concatenate(
@@ -367,7 +381,7 @@ def _row_tile(H: int, max_tile: int = 256) -> int:
     return best
 
 
-def _sweep_vertical(C, S, p1, p2, reverse: bool, accumulate: bool, interpret: bool):
+def _sweep_vertical(C, p1, p2, reverse: bool, interpret: bool):
     H, W, D = C.shape
     rows = _vertical_rows(W, D)
     # Pad H to a rows multiple with zero-cost rows (zero cost keeps the
@@ -376,7 +390,6 @@ def _sweep_vertical(C, S, p1, p2, reverse: bool, accumulate: bool, interpret: bo
     Hp = -(-H // rows) * rows
     if Hp != H:
         C = jnp.pad(C, ((0, Hp - H), (0, 0), (0, 0)))
-        S = jnp.pad(S, ((0, Hp - H), (0, 0), (0, 0)))
     nh = Hp // rows
     if reverse:
         index_map = lambda i: (nh - 1 - i, 0, 0)
@@ -384,25 +397,23 @@ def _sweep_vertical(C, S, p1, p2, reverse: bool, accumulate: bool, interpret: bo
         index_map = lambda i: (i, 0, 0)
     spec = pl.BlockSpec((rows, W, D), index_map, memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _vertical_kernel, p1=p1, p2=p2, accumulate=accumulate, reverse=reverse,
-        rows=rows,
+        _vertical_kernel, p1=p1, p2=p2, reverse=reverse, rows=rows,
     )
     out = pl.pallas_call(
         kernel,
         grid=(nh,),
-        in_specs=[spec, spec],
+        in_specs=[spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.uint16),
         scratch_shapes=[pltpu.VMEM((W, D), jnp.float32)] * 3,
-        input_output_aliases={1: 0},
         interpret=interpret,
-    )(C, S)
+    )(C)
     return out[:H] if Hp != H else out
 
 
-def _h_max_tile(D: int, bytes_per_elem: int = 10, budget: int = 11_000_000) -> int:
+def _h_max_tile(D: int, bytes_per_elem: int = 8, budget: int = 11_000_000) -> int:
     """Row-tile cap for the horizontal sweeps: double-buffered
-    (Ht, COLS, D) blocks (C int16 + S f32 in + S f32 out) within budget.
+    (Ht, COLS, D) 16-bit blocks within budget.
 
     Above D=128 the byte model underestimates Mosaic's working set (the
     16-column unroll keeps several multi-vreg (Ht, D) temporaries live):
@@ -411,19 +422,31 @@ def _h_max_tile(D: int, bytes_per_elem: int = 10, budget: int = 11_000_000) -> i
     if D > 128:
         return max(8, 12288 // D // 8 * 8)
     t = budget // (COLS * max(D, 128) * bytes_per_elem * 2)
-    return max(8, min(256, t // 8 * 8))
+    return max(8, min(512, t // 8 * 8))
 
 
-def _sweep_horizontal(C, S, p1, p2, reverse: bool, interpret: bool):
+def _pad_hw(C, Hmult=8):
+    H, W = C.shape[:2]
+    Wp = -(-W // COLS) * COLS
+    Hp = -(-H // Hmult) * Hmult
+    if Wp != W or Hp != H:
+        pads = ((0, Hp - H), (0, Wp - W)) + ((0, 0),) * (C.ndim - 2)
+        C = jnp.pad(C, pads)
+    return C, Hp, Wp
+
+
+def _sweep_horizontal(C, dS, p1, p2, reverse: bool, interpret: bool,
+                      accumulate: bool = True):
+    """Horizontal sweep emitting (L - C) deltas, accumulated onto dS when
+    given. Pass dS=None for a standalone delta volume."""
     H, W, D = C.shape
     # Pad W to a multiple of COLS with zero-cost columns. A zero-cost run
     # keeps the carry at exactly zero (L = 0 + min(0, ..) - 0), so entering
     # the real image from the pad is identical to a fresh path start.
-    Wp = -(-W // COLS) * COLS
-    Hp = -(-H // 8) * 8
-    if Wp != W or Hp != H:
-        C = jnp.pad(C, ((0, Hp - H), (0, Wp - W), (0, 0)))
-        S = jnp.pad(S, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    C, Hp, Wp = _pad_hw(C)
+    acc = accumulate and dS is not None
+    if acc:
+        dS, _, _ = _pad_hw(dS)
     nb = Wp // COLS
     Ht = _row_tile(Hp, _h_max_tile(D))
     nh = Hp // Ht
@@ -432,35 +455,34 @@ def _sweep_horizontal(C, S, p1, p2, reverse: bool, interpret: bool):
     else:
         index_map = lambda i, j: (i, j, 0)
     spec = pl.BlockSpec((Ht, COLS, D), index_map, memory_space=pltpu.VMEM)
-    kernel = functools.partial(_horizontal_kernel, p1=p1, p2=p2, reverse=reverse)
+    kernel = functools.partial(_horizontal_kernel, p1=p1, p2=p2,
+                               reverse=reverse, accumulate=acc)
+    inputs = (C, dS) if acc else (C,)
     out = pl.pallas_call(
         kernel,
         grid=(nh, nb),
-        in_specs=[spec, spec],
+        in_specs=[spec] * len(inputs),
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.uint16),
         scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32)],
-        input_output_aliases={1: 0},
+        input_output_aliases={1: 0} if acc else {},
         interpret=interpret,
-    )(C, S)
+    )(*inputs)
     return out[:H, :W] if (Wp != W or Hp != H) else out
 
 
 def _sweep_horizontal_wta(
-    C, S, p1, p2, uniqueness_ratio, min_disp, interpret: bool
+    C, dS_list, p1, p2, uniqueness_ratio, min_disp, interpret: bool
 ):
-    """Right-to-left sweep + fused WTA. Returns (disp, valid, best, minS)
-    full-size (H, W) maps."""
+    """Right-to-left sweep + fused WTA over the delta volumes. Returns
+    (disp, valid, best, minS) full-size (H, W) maps."""
     H, W, D = C.shape
-    Wp = -(-W // COLS) * COLS
-    Hp = -(-H // 8) * 8
-    if Wp != W or Hp != H:
-        C = jnp.pad(C, ((0, Hp - H), (0, Wp - W), (0, 0)))
-        S = jnp.pad(S, ((0, Hp - H), (0, Wp - W), (0, 0)))
+    C, Hp, Wp = _pad_hw(C)
+    dS_list = [_pad_hw(ds)[0] for ds in dS_list]
     nb = Wp // COLS
     # Smaller row tile than the plain sweep: the fused WTA reductions keep
     # several (Ht, D) intermediates live per unrolled column.
-    Ht = _row_tile(Hp, min(96, _h_max_tile(D)))
+    Ht = _row_tile(Hp, min(128, _h_max_tile(D)))
     nh = Hp // Ht
     index_map = lambda i, j: (i, nb - 1 - j, 0)
     spec = pl.BlockSpec((Ht, COLS, D), index_map, memory_space=pltpu.VMEM)
@@ -468,16 +490,17 @@ def _sweep_horizontal_wta(
     kernel = functools.partial(
         _horizontal_wta_kernel, p1=p1, p2=p2,
         uniqueness_ratio=uniqueness_ratio, min_disp=min_disp, D=D,
+        nds=len(dS_list),
     )
     packed = pl.pallas_call(
         kernel,
         grid=(nh, nb),
-        in_specs=[spec, spec],
+        in_specs=[spec] * (1 + len(dS_list)),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp, 8), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32)],
         interpret=interpret,
-    )(C, S)
+    )(C, *dS_list)
     packed = packed[:H, :W]
     return (
         packed[..., 0],
@@ -499,7 +522,7 @@ def sgm_wta_pallas(
     """All SGM sweeps with winner-take-all fused into the final one.
 
     Returns (disp f32, uniqueness-valid bool, best i32, minS i32) — the
-    aggregated volume never round-trips HBM after the last sweep.
+    aggregated volume never exists in HBM (only 16-bit delta volumes do).
     Numerically identical to wta_disparity(sgm_aggregate_pallas(...)).
     """
     assert num_directions in (5, 8)
@@ -507,30 +530,29 @@ def sgm_wta_pallas(
         C = C.astype(jnp.int32)
     p1 = float(p1)
     p2 = float(p2)
-    S = _vertical_directions(C, p1, p2, num_directions, interpret)
-    S = _sweep_horizontal(C, S, p1, p2, reverse=False, interpret=interpret)
+    dS1 = _vertical_sweep_auto(C, p1, p2, reverse=False, interpret=interpret)
+    dS_list = [None]
+    if num_directions == 8:
+        dS_list.append(_vertical_sweep_auto(C, p1, p2, reverse=True,
+                                            interpret=interpret))
+    # L->R deltas accumulate onto the forward vertical volume (u16-exact:
+    # 4 directions <= 4*P2 = 46464 < 2^16).
+    dS_list[0] = _sweep_horizontal(C, dS1, p1, p2, reverse=False,
+                                   interpret=interpret)
     return _sweep_horizontal_wta(
-        C, S, p1, p2, uniqueness_ratio, min_disp, interpret=interpret
+        C, dS_list, p1, p2, uniqueness_ratio, min_disp, interpret=interpret
     )
 
 
-def _vertical_directions(C, p1, p2, num_directions, interpret):
-    """Vertical {U, UL, UR} (+ reverse triple for 8 directions): full-width
-    kernel when the streamed blocks fit VMEM, column-tiled otherwise (the
-    two are bit-exact).
-
-    Gate calibrated on hardware (lane-padded element counts, see
-    _lane_elems): 147k compiles at rows=2, 229k at rows=1, 238k OOMs at
-    rows=2 — so full-width up to 220k, column-tiled beyond."""
+def _vertical_sweep_auto(C, p1, p2, reverse, interpret):
+    """Vertical {U, UL, UR} triple (direction-reversed when `reverse`):
+    full-width kernel when the streamed blocks fit VMEM, column-tiled
+    otherwise (the two are bit-exact)."""
     H, W, D = C.shape
-    full_width_ok = _lane_elems(W, D) <= 220_000 or interpret
-    sweep = _sweep_vertical if full_width_ok else _sweep_vertical_tiled
-    S = sweep(C, jnp.zeros(C.shape, jnp.float32), p1, p2,
-              reverse=False, accumulate=False, interpret=interpret)
-    if num_directions == 8:
-        S = sweep(C, S, p1, p2, reverse=True, accumulate=True,
-                  interpret=interpret)
-    return S
+    full_width_ok = _lane_elems(W, D) <= 300_000 or interpret
+    if full_width_ok:
+        return _sweep_vertical(C, p1, p2, reverse=reverse, interpret=interpret)
+    return _sweep_vertical_tiled(C, p1, p2, reverse=reverse, interpret=interpret)
 
 
 def sgm_aggregate_pallas(
@@ -549,8 +571,12 @@ def sgm_aggregate_pallas(
         C = C.astype(jnp.int32)
     p1 = float(p1)
     p2 = float(p2)
-    S = _vertical_directions(C, p1, p2, num_directions, interpret)
-    S = _sweep_horizontal(C, S, p1, p2, reverse=False, interpret=interpret)
-    S = _sweep_horizontal(C, S, p1, p2, reverse=True, interpret=interpret)
-    # All values are integers below 2^24 — the cast back is exact.
-    return S.astype(jnp.int32)
+    S = _vertical_sweep_auto(C, p1, p2, False, interpret).astype(jnp.int32)
+    if num_directions == 8:
+        S = S + _vertical_sweep_auto(C, p1, p2, True, interpret)
+    S = S + _sweep_horizontal(C, None, p1, p2, reverse=False,
+                              interpret=interpret, accumulate=False)
+    S = S + _sweep_horizontal(C, None, p1, p2, reverse=True,
+                              interpret=interpret, accumulate=False)
+    # The deltas exclude each direction's C term; add them back.
+    return S + num_directions * C.astype(jnp.int32)

@@ -13,21 +13,15 @@ from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import (
 )
 
 
-@pytest.mark.parametrize("reverse,accumulate", [(False, False), (True, True)])
+@pytest.mark.parametrize("reverse", [False, True])
 @pytest.mark.parametrize("shape", [(24, 64, 16), pytest.param((27, 57, 16), marks=pytest.mark.slow)])  # incl. unpadded
-def test_column_tiled_vertical_bitexact(rng, shape, reverse, accumulate):
+def test_column_tiled_vertical_bitexact(rng, shape, reverse):
     """The column-tiled vertical sweep (the 4K path) == the full-width one,
     including diagonal carries crossing the forced 16-column tiles."""
     C = jnp.asarray(rng.integers(0, 20000, size=shape), dtype=jnp.int16)
-    S0 = jnp.asarray(
-        rng.integers(0, 50000, size=shape) if accumulate else np.zeros(shape),
-        dtype=jnp.float32,
-    )
     p1, p2 = 2904.0, 11616.0
-    ref = _sweep_vertical(C, S0, p1, p2, reverse=reverse,
-                          accumulate=accumulate, interpret=True)
-    out = _sweep_vertical_tiled(C, S0, p1, p2, reverse=reverse,
-                                accumulate=accumulate, interpret=True,
+    ref = _sweep_vertical(C, p1, p2, reverse=reverse, interpret=True)
+    out = _sweep_vertical_tiled(C, p1, p2, reverse=reverse, interpret=True,
                                 tile_width=16)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
@@ -66,3 +60,11 @@ def test_wta_fused_matches_xla(rng, ndirs, shape):
     lr_ref = DP.lr_check(S, disp_ref, min_disp, 1)
     lr_new = DP.lr_check_maps(best, minS, disp, shape[-1], min_disp, 1)
     np.testing.assert_array_equal(np.asarray(lr_new), np.asarray(lr_ref))
+    # ... and so does the Pallas kernel version.
+    from stereo_reconstruction_cv_tpu.ops.pallas.lr_pallas import (
+        lr_check_maps_pallas,
+    )
+
+    lr_pl = lr_check_maps_pallas(best, minS, disp, shape[-1], min_disp, 1,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(lr_pl), np.asarray(lr_ref))

@@ -80,15 +80,13 @@ def main(out_path="docs/HW_PARITY.json"):
     for shape in [(64, 256, 64), (48, 640, 128)]:
         H, W, D = shape
         C = jnp.asarray(rng.integers(0, 20000, size=shape), jnp.int16)
-        S0 = jnp.zeros(shape, jnp.float32)
         p1f, p2f = 2904.0, 11616.0
-        f_full = jax.jit(lambda c, s: _sweep_vertical(
-            c, s, p1f, p2f, reverse=False, accumulate=False, interpret=False))
-        f_tile = jax.jit(lambda c, s: _sweep_vertical_tiled(
-            c, s, p1f, p2f, reverse=False, accumulate=False, interpret=False,
-            tile_width=64))
-        out_f, dt_f = timed(f_full, C, S0)
-        out_t, dt_t = timed(f_tile, C, S0)
+        f_full = jax.jit(lambda c: _sweep_vertical(
+            c, p1f, p2f, reverse=False, interpret=False))
+        f_tile = jax.jit(lambda c: _sweep_vertical_tiled(
+            c, p1f, p2f, reverse=False, interpret=False, tile_width=64))
+        out_f, dt_f = timed(f_full, C)
+        out_t, dt_t = timed(f_tile, C)
         diff = np.abs(np.asarray(out_f) - np.asarray(out_t))
         record("vertical_tiled_vs_full", shape, diff.max() == 0, diff.max(),
                dt_t, dt_f)
@@ -109,6 +107,23 @@ def main(out_path="docs/HW_PARITY.json"):
         diff = np.abs(np.asarray(out_p, np.int64) - np.asarray(out_x, np.int64))
         record("cost_volume_fused", (H, W, D), diff.max() == 0, diff.max(),
                dt_p, dt_x)
+
+    # --- Pallas LR check vs the XLA maps loop ------------------------------
+    from stereo_reconstruction_cv_tpu.ops.pallas.lr_pallas import (
+        lr_check_maps_pallas,
+    )
+
+    for (H, Wc, D) in [(120, 512, 64), (96, 640, 128)]:
+        best = jnp.asarray(rng.integers(0, D, size=(H, Wc)), jnp.int32)
+        minS = jnp.asarray(rng.integers(0, 100000, size=(H, Wc)), jnp.int32)
+        disp = best.astype(jnp.float32) + jnp.asarray(
+            rng.uniform(-0.499, 0.499, size=(H, Wc)), jnp.float32)
+        f_p = jax.jit(lambda b, m, d: lr_check_maps_pallas(b, m, d, D, 0, 1))
+        f_x = jax.jit(lambda b, m, d: DP.lr_check_maps(b, m, d, D, 0, 1))
+        out_p, dt_p = timed(f_p, best, minS, disp)
+        out_x, dt_x = timed(f_x, best, minS, disp)
+        diff = (np.asarray(out_p) != np.asarray(out_x)).sum()
+        record("lr_check_pallas", (H, Wc, D), diff == 0, diff, dt_p, dt_x)
 
     # --- Full SGBM Pallas backend vs XLA backend on a real pair -----------
     try:
