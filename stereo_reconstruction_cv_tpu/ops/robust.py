@@ -68,27 +68,45 @@ def robust_fit(
     sample_size: int = 8,
     threshold: float = 1.0,
     lo_iters: int = 2,
+    tiebreak_fn: Callable | None = None,
 ) -> RobustResult:
     """Generic fixed-budget robust model fit.
 
-    solver(p1 (k,2), p2 (k,2)) -> model; residual_fn(model, pts1, pts2) ->
+    solver(p1 (k,2), p2 (k,2)) -> model, or (models (nm,3,3), valid (nm,))
+    for multi-root minimal solvers; residual_fn(model, pts1, pts2) ->
     squared residual (N,); refit(pts1, pts2, weights) -> model.
     method: 'ransac' (count inliers under threshold^2) or 'lmeds'
     (minimize median squared residual; inliers by the 2.5-sigma MAD rule
-    OpenCV uses in its LMedS implementation).
+    OpenCV uses in its LMedS implementation). tiebreak_fn(model, pts1,
+    pts2, mask) -> [0, 1) adds a fractional ranking bonus under 'ransac'.
     """
     num_points = pts1.shape[0]
     idx = _sample_indices(key, num_points, mask, num_hypotheses, sample_size)
     s1 = pts1[idx]  # (M, k, 2)
     s2 = pts2[idx]
-    models = jax.vmap(solver)(s1, s2)  # (M, 3, 3)
+    out = jax.vmap(solver)(s1, s2)
+    if isinstance(out, tuple):
+        # Multi-model minimal solver (e.g. 5-point: <= 10 roots/sample):
+        # every candidate of every sample is an independent hypothesis.
+        models, model_ok = out
+        models = models.reshape(-1, 3, 3)
+        model_ok = model_ok.reshape(-1)
+    else:
+        models = out  # (M, 3, 3)
+        model_ok = jnp.ones(models.shape[0], bool)
     residuals = jax.vmap(lambda m: residual_fn(m, pts1, pts2))(models)  # (M, N)
     residuals = jnp.nan_to_num(residuals, nan=jnp.inf, posinf=jnp.inf)
+    residuals = jnp.where(model_ok[:, None], residuals, jnp.inf)
 
     thr2 = jnp.asarray(threshold, residuals.dtype) ** 2
     if method == "ransac":
         inlier = (residuals < thr2) & mask[None, :]
-        score = jnp.sum(inlier, axis=-1)
+        score = jnp.sum(inlier, axis=-1).astype(residuals.dtype)
+        if tiebreak_fn is not None:
+            # Fractional bonus in [0, 1): orders models with equal inlier
+            # counts (e.g. cheirality among the planar-degenerate E family)
+            # without ever outvoting an extra inlier.
+            score = score + jax.vmap(lambda m: tiebreak_fn(m, pts1, pts2, mask))(models)
         best = jnp.argmax(score)
         best_inliers = inlier[best]
         best_score = score[best].astype(residuals.dtype)
@@ -132,12 +150,52 @@ def robust_fit(
             residual_fn(refit_model, pts1, pts2), nan=jnp.inf, posinf=jnp.inf
         )
         inl_new = (res_new < sel_thr2) & mask
-        better = (jnp.sum(inl_new) >= jnp.sum(inliers)) & (
-            jnp.sum(inliers) >= sample_size
-        )
+        n_new = jnp.sum(inl_new).astype(pts1.dtype)
+        n_old = jnp.sum(inliers).astype(pts1.dtype)
+        if tiebreak_fn is not None:
+            # With a tiebreak, an equal-inlier refit must also rank at
+            # least as high (e.g. a planar-degenerate 8-point refit ties
+            # on inliers but loses the cheirality vote).
+            n_new = n_new + tiebreak_fn(refit_model, pts1, pts2, mask)
+            n_old = n_old + tiebreak_fn(model, pts1, pts2, mask)
+        better = (n_new >= n_old) & (jnp.sum(inliers) >= sample_size)
         model = jnp.where(better, refit_model, model)
         inliers = jnp.where(better, inl_new, inliers)
     return RobustResult(model, inliers, jnp.sum(inliers), best_score)
+
+
+def cheirality_fraction(
+    E: jnp.ndarray, npts1: jnp.ndarray, npts2: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Fraction of correspondences with positive depth in both views under
+    the best of E's four pose decompositions, scaled into [0, 1).
+
+    Closed-form two-view depths (no triangulation solve): from
+    z2 x2 = z1 R x1 + t, crossing with x2 gives
+    z1 = -(x2 x t)·(x2 x R x1) / |x2 x R x1|^2.
+
+    Used as the RANSAC tiebreak for E: on (near-)planar scenes a whole
+    family of essential matrices fits the epipolar constraint equally well
+    (x2 ~ H x1 makes x2^T [v]x H x1 = 0 for EVERY v), so inlier counts
+    tie; only the true member reconstructs points in front of both
+    cameras. cv2's USAC path applies the same degeneracy guard."""
+    R1, R2, t = EP.decompose_essential(E)
+    ones = jnp.ones_like(npts1[..., :1])
+    x1 = jnp.concatenate([npts1, ones], axis=-1)
+    x2 = jnp.concatenate([npts2, ones], axis=-1)
+    msum = jnp.sum(mask) + 1e-30
+
+    def frac(R, tt):
+        Rx1 = x1 @ R.T
+        c1 = jnp.cross(x2, Rx1)
+        c2 = jnp.cross(x2, jnp.broadcast_to(tt, x2.shape))
+        z1 = -jnp.sum(c2 * c1, -1) / (jnp.sum(c1 * c1, -1) + 1e-30)
+        z2 = z1 * Rx1[:, 2] + tt[2]
+        ok = (z1 > 0) & (z2 > 0) & mask
+        return jnp.sum(ok) / msum
+
+    fr = jnp.stack([frac(R1, t), frac(R1, -t), frac(R2, t), frac(R2, -t)])
+    return 0.999 * jnp.max(fr)
 
 
 # ---------------------------------------------------------------------------
@@ -183,13 +241,20 @@ def find_essential(
     mask: jnp.ndarray | None = None,
     threshold_px: float = 1.0,
     num_hypotheses: int = 512,
+    solver: str = "5pt",
 ) -> RobustResult:
     """Robust E via batched RANSAC on K-normalized coords.
 
     Matches the reference call cv2.findEssentialMat(..., RANSAC, 0.999, 1.0)
-    (gui.py:142): the pixel threshold is divided by the mean focal length,
-    exactly as OpenCV does internally. Solver: normalized 8-point projected
-    to the essential manifold (SURVEY §2.3 sanctions 8-point here)."""
+    (gui.py:142), including the minimal solver: cv2 runs Nistér's 5-point,
+    and the default here is the batched 5-point (ops/fivepoint.py; every
+    real root of every sample scores as an independent hypothesis — a
+    5-point sample yields <= 10). The pixel threshold is divided by the
+    mean focal length, exactly as OpenCV does internally. solver='8pt'
+    selects the round-1 normalized-8-point fallback (degenerate for planar
+    scenes). The local-optimization refit stays 8-point on the inlier set
+    in both modes; the refit is only kept when it does not lose inliers,
+    which guards the planar-degenerate refit case."""
     if mask is None:
         mask = jnp.ones(pts1.shape[0], bool)
     n1 = EP.pixel_to_normalized(pts1, K)
@@ -197,8 +262,16 @@ def find_essential(
     f_mean = 0.5 * (K[0, 0] + K[1, 1])
     thr = jnp.asarray(threshold_px, n1.dtype) / f_mean
 
-    def solver(p1, p2):
-        return EP.essential_8pt(p1, p2)
+    if solver == "5pt":
+        from stereo_reconstruction_cv_tpu.ops.fivepoint import essential_5pt
+
+        solve = essential_5pt
+        sample_size = 5
+    elif solver == "8pt":
+        solve = lambda p1, p2: EP.essential_8pt(p1, p2)
+        sample_size = 8
+    else:
+        raise ValueError(f"unknown essential solver {solver!r}")
 
     def residual(Em, p1, p2):
         return G.sampson_error(Em, p1, p2)
@@ -207,7 +280,8 @@ def find_essential(
         return EP.essential_8pt(p1, p2, weights=w)
 
     return robust_fit(
-        key, n1, n2, mask, solver, residual, refit,
-        method="ransac", num_hypotheses=num_hypotheses, sample_size=8,
-        threshold=thr,
+        key, n1, n2, mask, solve, residual, refit,
+        method="ransac", num_hypotheses=num_hypotheses,
+        sample_size=sample_size, threshold=thr,
+        tiebreak_fn=cheirality_fraction,
     )
