@@ -343,13 +343,17 @@ def bench_config4(iters=5):
     pairs = [_load_pair(d, size) for d in ("d1", "d2", "d3")]
 
     model = XF.XFeatNet()
-    ckpt = os.path.join(_REPO_ROOT, "checkpoints", "xfeat_v0")
+    # Highest-versioned shipped checkpoint == the evaluated best
+    # (docs/XFEAT_EVAL.json), matching cli._default_learned_checkpoint.
+    import glob as _glob
+
+    cands = sorted(_glob.glob(os.path.join(_REPO_ROOT, "checkpoints", "xfeat_v*")))
     state, _ = XF.create_train_state(jax.random.PRNGKey(0), model, (size[1], size[0]))
     params = state.params
-    if os.path.isdir(ckpt):
+    if cands:
         from stereo_reconstruction_cv_tpu.models import checkpoint as CK
 
-        params = CK.load_params(ckpt, like=params)
+        params = CK.load_params(cands[-1], like=params)
 
     K, geo = _rectified_geometry(size, 0)
     P1 = jnp.asarray(geo.P1, jnp.float32)
@@ -359,7 +363,7 @@ def bench_config4(iters=5):
     def step(l, r):
         f1 = XF.detect(params, model, l, maxk)
         f2 = XF.detect(params, model, r, maxk)
-        res = MT.knn2_match(f1.descriptors, f2.descriptors, ratio=0.75)
+        res = MT.match_learned(f1.descriptors, f2.descriptors)
         p1, p2, w = MT.gather_correspondences(f1.keypoints, f2.keypoints, res)
         pts = G.triangulate_points(P1, P2, p1, p2)
         return jnp.sum(jnp.where(w[:, None], pts, 0.0))

@@ -15,6 +15,7 @@ headless-first for TPU hosts (SURVEY §7 step 8).
 from __future__ import annotations
 
 import argparse
+import glob
 import os
 import sys
 
@@ -75,14 +76,27 @@ def cmd_stereo_calibrate(args):
 
 def _default_learned_checkpoint():
     """Shipped trained weights, so --learned without --model never runs a
-    randomly initialized net silently."""
-    cand = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                        "checkpoints", "xfeat_v1")
-    if os.path.isdir(cand):
-        return os.path.abspath(cand)
+    randomly initialized net silently. Picks the highest-versioned
+    checkpoints/xfeat_v* — the shipped best (docs/XFEAT_EVAL.json tracks
+    its evaluation)."""
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "checkpoints")
+    cands = sorted(glob.glob(os.path.join(root, "xfeat_v*")))
+    if cands:
+        return os.path.abspath(cands[-1])
     print("warning: no trained checkpoint found; using fresh-init weights",
           file=sys.stderr)
     return None
+
+
+def _stage_cache(args):
+    """--cache [DIR] -> a StageCache (None when the flag is absent)."""
+    d = getattr(args, "cache", None)
+    if not d:
+        return None
+    from stereo_reconstruction_cv_tpu.pipeline.cache import StageCache
+
+    return StageCache(d)
 
 
 def cmd_rectify(args):
@@ -92,6 +106,7 @@ def cmd_rectify(args):
     out = stages.rectify_pair(
         args.pair, baseline=args.baseline, camera_matrix=_load_K(args),
         dist=_load_dist(args) if args.undistort else None,
+        cache=_stage_cache(args),
     )
     os.makedirs(args.outdir, exist_ok=True)
     save_image(os.path.join(args.outdir, "left_rectified.jpg"), out["left_rectified"])
@@ -161,6 +176,7 @@ def cmd_geometry(args):
         method="learned" if getattr(args, "learned", False) else "classical",
         checkpoint=(getattr(args, "model", None) or _default_learned_checkpoint())
         if getattr(args, "learned", False) else None,
+        cache=_stage_cache(args),
     )
     for k in ("Essential Matrix", "Rotation Matrix", "Translation Vector"):
         print(f"\n== {k} ==\n{out[k]}")
@@ -257,7 +273,8 @@ def cmd_disparity(args):
     from stereo_reconstruction_cv_tpu.utils.draw import colormap_jet
 
     imL, imR = load_stereo_pair(args.pair)
-    disp = stages.disparity(imL, imR, ndisp=args.ndisp, mindis=args.mindisp)
+    disp = stages.disparity(imL, imR, ndisp=args.ndisp, mindis=args.mindisp,
+                            cache=_stage_cache(args))
     os.makedirs(args.outdir, exist_ok=True)
     np.save(os.path.join(args.outdir, "disparity.npy"), disp)
     save_image(os.path.join(args.outdir, "disparity_jet.png"), colormap_jet(disp))
@@ -270,14 +287,15 @@ def cmd_reconstruct(args):
     from stereo_reconstruction_cv_tpu.io.image import load_stereo_pair, load_rgb
 
     imL, imR = load_stereo_pair(args.pair)
+    cache = _stage_cache(args)
     if args.rectification:
         Q = np.load(args.rectification)["Q"]
     else:
         rect = stages.rectify_pair(args.pair, baseline=args.baseline, camera_matrix=_load_K(args),
-                                   with_visualizations=False)
+                                   with_visualizations=False, cache=cache)
         imL, imR = rect["left_rectified"], rect["right_rectified"]
         Q = rect["Q"]
-    disp = stages.disparity(imL, imR, ndisp=args.ndisp, mindis=args.mindisp)
+    disp = stages.disparity(imL, imR, ndisp=args.ndisp, mindis=args.mindisp, cache=cache)
     pts = stages.reconstruct(disp, Q)
     colors = None
     p1 = os.path.join(args.pair, "img1.jpg")
@@ -324,6 +342,8 @@ def main(argv=None):
                    help="apply the calibration's distortion in the remap "
                         "(the reference passes dist=None; opt in)")
     r.add_argument("--outdir", default="rectify_out")
+    r.add_argument("--cache", nargs="?", const=".stereo_tpu_cache", default=None,
+                   metavar="DIR", help="persist/reuse stage results (StageCache)")
     r.set_defaults(fn=cmd_rectify)
 
     scal = sub.add_parser("stereo-calibrate", help="two-camera rig calibration [branch]")
@@ -358,6 +378,8 @@ def main(argv=None):
     g.add_argument("--calibration", default=None)
     g.add_argument("--learned", action="store_true", help="XFeat-style matcher")
     g.add_argument("--model", default=None, help="orbax checkpoint for --learned")
+    g.add_argument("--cache", nargs="?", const=".stereo_tpu_cache", default=None,
+                   metavar="DIR", help="persist/reuse stage results (StageCache)")
     g.set_defaults(fn=cmd_geometry)
 
     t = sub.add_parser("triangulate", help="sparse reconstruction (Tab 5)")
@@ -373,6 +395,8 @@ def main(argv=None):
     d.add_argument("--ndisp", type=int, default=16)
     d.add_argument("--mindisp", type=int, default=0)
     d.add_argument("--outdir", default="disparity_out")
+    d.add_argument("--cache", nargs="?", const=".stereo_tpu_cache", default=None,
+                   metavar="DIR", help="persist/reuse stage results (StageCache)")
     d.set_defaults(fn=cmd_disparity)
 
     rc = sub.add_parser("reconstruct", help="pair -> dense point cloud (Tab 6)")
@@ -384,6 +408,8 @@ def main(argv=None):
     rc.add_argument("--mindisp", type=int, default=0)
     rc.add_argument("--output", default="point_cloud.ply")
     rc.add_argument("--viewer", default=None, help="also write an HTML viewer")
+    rc.add_argument("--cache", nargs="?", const=".stereo_tpu_cache", default=None,
+                   metavar="DIR", help="persist/reuse stage results (StageCache)")
     rc.set_defaults(fn=cmd_reconstruct)
 
     rp = sub.add_parser("report", help="full-pipeline HTML report (all tabs)")

@@ -53,6 +53,10 @@ class MatchConfig:
     max_keypoints: int = 4096
     # Descriptor length (XFeat-style learned descriptor; SIFT is 128).
     descriptor_dim: int = 64
+    # Learned-path matcher gate: mutual NN + min cosine similarity
+    # (upstream XFeat's policy; Lowe's ratio starves dense-grid learned
+    # descriptors — ops.matching.match_learned).
+    learned_min_cossim: float = 0.82
 
 
 @dataclasses.dataclass(frozen=True)

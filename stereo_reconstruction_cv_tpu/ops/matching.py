@@ -76,6 +76,38 @@ def knn2_match(
     return MatchResult(best_idx.astype(jnp.int32), jnp.sqrt(best), jnp.sqrt(second), ok)
 
 
+def match_learned(
+    d1: jnp.ndarray,
+    d2: jnp.ndarray,
+    valid1: jnp.ndarray | None = None,
+    valid2: jnp.ndarray | None = None,
+    min_cossim: float = 0.82,
+) -> MatchResult:
+    """Mutual-NN + cosine-similarity matching for learned descriptors.
+
+    Dense-grid learned descriptors (XFeat-style nets sample a 1/8-res
+    descriptor field) have near-duplicate second neighbors — the adjacent
+    grid cell — so Lowe's ratio test rejects almost everything. The
+    upstream XFeat matcher (verlab/accelerated_features, the net the
+    reference's Tab 7 wraps) therefore uses mutual nearest neighbors
+    gated on min cosine similarity instead; same policy here. Descriptors
+    are assumed L2-normalized, so cossim = 1 - dist^2 / 2."""
+    dist = squared_distance_matrix(d1, d2, valid2)
+    best_idx = jnp.argmin(dist, axis=-1)
+    best = jnp.take_along_axis(dist, best_idx[:, None], axis=-1)[:, 0]
+    dist2 = dist.at[jnp.arange(dist.shape[0]), best_idx].set(jnp.inf)
+    second = jnp.min(dist2, axis=-1)
+    cossim = 1.0 - 0.5 * best
+    ok = cossim >= min_cossim
+    if valid1 is not None:
+        ok &= valid1
+    ok &= jnp.isfinite(best)
+    bdist = dist if valid1 is None else jnp.where(valid1[:, None], dist, jnp.inf)
+    back = jnp.argmin(bdist, axis=0)
+    ok &= back[best_idx] == jnp.arange(d1.shape[0])
+    return MatchResult(best_idx.astype(jnp.int32), jnp.sqrt(best), jnp.sqrt(second), ok)
+
+
 def gather_correspondences(
     kpts1: jnp.ndarray, kpts2: jnp.ndarray, match: MatchResult
 ):

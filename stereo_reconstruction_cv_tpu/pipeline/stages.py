@@ -215,14 +215,19 @@ def detect_match(
     if method == "learned":
         fl = _learned_features(imL, max_keypoints, model_checkpoint)
         fr = _learned_features(imR, max_keypoints, model_checkpoint)
+        mres = M.match_learned(
+            fl.descriptors.astype(jnp.float32),
+            fr.descriptors.astype(jnp.float32),
+            fl.mask, fr.mask,
+        )
     else:
         fl = FT.detect_and_describe(jnp.asarray(imL), max_keypoints, contrast_threshold)
         fr = FT.detect_and_describe(jnp.asarray(imR), max_keypoints, contrast_threshold)
-    mres = M.knn2_match(
-        fl.descriptors.astype(jnp.float32),
-        fr.descriptors.astype(jnp.float32),
-        fl.mask, fr.mask, ratio=ratio,
-    )
+        mres = M.knn2_match(
+            fl.descriptors.astype(jnp.float32),
+            fr.descriptors.astype(jnp.float32),
+            fl.mask, fr.mask, ratio=ratio,
+        )
     out = {
         "keypoints1": np.asarray(fl.keypoints),
         "keypoints2": np.asarray(fr.keypoints),
@@ -261,6 +266,34 @@ def _load_pair(folder_or_pair):
     if isinstance(folder_or_pair, str):
         return IO.load_stereo_pair(folder_or_pair)
     return folder_or_pair
+
+
+def _pair_cache_key(folder_or_pair, **params) -> Dict:
+    """Cache key for a stereo-pair stage: img1/img2 file fingerprints when
+    given a folder (cheap stat), content hashes when given arrays, plus
+    every parameter that changes the stage's output (SURVEY §5 checkpoint
+    row: any stage can restart from its persisted npz)."""
+    import hashlib
+    import os
+
+    from stereo_reconstruction_cv_tpu.pipeline.cache import file_fingerprint
+
+    if isinstance(folder_or_pair, str):
+        fps = []
+        for name in ("img1.jpg", "img2.jpg"):
+            p = os.path.join(folder_or_pair, name)
+            fps.append(file_fingerprint(p) if os.path.exists(p) else name)
+        key = {"pair": fps}
+    else:
+        imL, imR = folder_or_pair
+        key = {
+            "pair": [
+                hashlib.sha1(np.ascontiguousarray(x)).hexdigest()
+                for x in (np.asarray(imL), np.asarray(imR))
+            ]
+        }
+    key.update(params)
+    return key
 
 
 _XFEAT_CACHE = {}
@@ -366,14 +399,21 @@ def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig, max_dim: int = 2048,
         if method == "learned":
             fl = _learned_features(dL, cfg.max_keypoints, checkpoint)
             fr = _learned_features(dR, cfg.max_keypoints, checkpoint)
+            # Learned dense-grid descriptors: mutual NN + cosine gate
+            # (Lowe's ratio starves them — see ops.matching.match_learned).
+            mres = M.match_learned(
+                fl.descriptors.astype(jnp.float32),
+                fr.descriptors.astype(jnp.float32),
+                fl.mask, fr.mask, min_cossim=cfg.learned_min_cossim,
+            )
         else:
             fl = FT.detect_and_describe(jnp.asarray(dL), cfg.max_keypoints, cfg.contrast_threshold)
             fr = FT.detect_and_describe(jnp.asarray(dR), cfg.max_keypoints, cfg.contrast_threshold)
-        mres = M.knn2_match(
-            fl.descriptors.astype(jnp.float32),
-            fr.descriptors.astype(jnp.float32),
-            fl.mask, fr.mask, ratio=cfg.ratio_geometry, mutual=True,
-        )
+            mres = M.knn2_match(
+                fl.descriptors.astype(jnp.float32),
+                fr.descriptors.astype(jnp.float32),
+                fl.mask, fr.mask, ratio=cfg.ratio_geometry, mutual=True,
+            )
     p1, p2, mask = M.gather_correspondences(fl.keypoints, fr.keypoints, mres)
     s = float(factor)
     return p1.astype(jnp.float64) * s, p2.astype(jnp.float64) * s, mask, factor
@@ -391,6 +431,7 @@ def estimate_geometry(
     pipeline_cfg: cfg_mod.PipelineConfig = cfg_mod.DEFAULT,
     method: str = "classical",
     checkpoint: str | None = None,
+    cache=None,
 ) -> Dict:
     """stereo_geometry_estimation parity (gui.py:263-322): SIFT-sem match
     (ratio 0.7) -> F (LMedS) -> E (RANSAC p=.999 thr=1px) -> recoverPose.
@@ -398,10 +439,26 @@ def estimate_geometry(
     method='learned' uses the XFeat-style matcher for correspondences
     (Tab 7 geometry path, README.md:109-110 [branch]).
 
+    cache: optional pipeline.cache.StageCache — results keyed on the
+    pair's content + K/seed/method persist across processes (SURVEY §5).
+
     Returns the reference's dict {"Essential Matrix", "Rotation Matrix",
     "Translation Vector"} plus F, inlier masks and diagnostics."""
     imL, imR = _load_pair(folder_or_pair)
     K = np.asarray(camera_matrix) if camera_matrix is not None else default_camera_matrix()
+    ckey = None
+    if cache is not None:
+        ckey = _pair_cache_key(
+            folder_or_pair, K=K.tolist(), seed=seed, method=method,
+            checkpoint=checkpoint, baseline=baseline,
+        )
+        hit = cache.load("geometry", ckey)
+        if hit is not None:
+            out = dict(hit)
+            out["baseline"] = float(out["baseline"])
+            for k in ("num_matches", "num_inliers_F", "num_inliers_E"):
+                out[k] = int(out[k])
+            return out
     p1, p2, mask, det_factor = _match_for_geometry(
         imL, imR, pipeline_cfg.match, method=method, checkpoint=checkpoint
     )
@@ -424,7 +481,7 @@ def estimate_geometry(
         R, T, pose_mask, votes = EP.recover_pose(
             eres.model, n1, n2, weights=eres.inlier_mask.astype(n1.dtype)
         )
-    return {
+    out = {
         "Essential Matrix": np.asarray(eres.model),
         "Rotation Matrix": np.asarray(R),
         "Translation Vector": np.asarray(T).reshape(3, 1),
@@ -437,6 +494,9 @@ def estimate_geometry(
         "pts2": np.asarray(p2),
         "inlier_mask": np.asarray(eres.inlier_mask),
     }
+    if cache is not None:
+        cache.save("geometry", ckey, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -452,6 +512,7 @@ def rectify_pair(
     seed: int = 0,
     with_visualizations: bool = True,
     pipeline_cfg: cfg_mod.PipelineConfig = cfg_mod.DEFAULT,
+    cache=None,
 ) -> Dict:
     """stereo_rect parity (gui.py:92-209): estimate geometry, rectify with
     alpha=1.0, fused remap both images, re-verify epipolar geometry on the
@@ -459,10 +520,32 @@ def rectify_pair(
 
     `dist` (5-coeff) enables undistortion in the fused remap — the
     reference passes dist=None even when calibration produced one (cell 3
-    wrapper), which we support but don't force."""
+    wrapper), which we support but don't force.
+
+    cache: optional StageCache — the full rectification output (including
+    the nested geometry dict, flattened to 'geo *' npz keys) persists
+    keyed on pair content + K/dist/alpha/seed (SURVEY §5)."""
     imL, imR = _load_pair(folder_or_pair)
     K = np.asarray(camera_matrix) if camera_matrix is not None else default_camera_matrix()
     dj = None if dist is None else jnp.asarray(dist)
+    ckey = None
+    if cache is not None:
+        ckey = _pair_cache_key(
+            folder_or_pair, K=K.tolist(),
+            dist=None if dist is None else np.asarray(dist).tolist(),
+            alpha=alpha, seed=seed, baseline=baseline,
+            vis=bool(with_visualizations),
+        )
+        hit = cache.load("rectify", ckey)
+        if hit is not None:
+            out = {k: v for k, v in hit.items() if not k.startswith("geo ")}
+            geo = {k[len("geo "):]: v for k, v in hit.items() if k.startswith("geo ")}
+            geo["baseline"] = float(geo["baseline"])
+            for k in ("num_matches", "num_inliers_F", "num_inliers_E"):
+                geo[k] = int(geo[k])
+            out["geometry"] = geo
+            out["epiline_mean_abs_slope"] = float(out["epiline_mean_abs_slope"])
+            return out
     geo = estimate_geometry((imL, imR), baseline, K, seed, pipeline_cfg)
     R = jnp.asarray(geo["Rotation Matrix"])
     T = jnp.asarray(geo["Translation Vector"]).reshape(3) * baseline
@@ -517,6 +600,10 @@ def rectify_pair(
                 "Right Points (after)": vis4,
             }
         )
+    if cache is not None:
+        flat = {k: v for k, v in out.items() if k != "geometry"}
+        flat.update({f"geo {k}": np.asarray(v) for k, v in geo.items()})
+        cache.save("rectify", ckey, flat)
     return out
 
 
@@ -524,12 +611,22 @@ def rectify_pair(
 # Dense reconstruction
 # ---------------------------------------------------------------------------
 
-def disparity(imgL, imgR, ndisp: int = 16, mindis: int = 0) -> np.ndarray:
+def disparity(imgL, imgR, ndisp: int = 16, mindis: int = 0, cache=None) -> np.ndarray:
     """compute_disparity_map parity (cell 10): float map, /16 semantics,
-    non-positive zeroed."""
-    return np.asarray(
+    non-positive zeroed. cache: optional StageCache keyed on the input
+    image content + SGBM parameters."""
+    ckey = None
+    if cache is not None:
+        ckey = _pair_cache_key((imgL, imgR), ndisp=ndisp, mindis=mindis)
+        hit = cache.load("disparity", ckey)
+        if hit is not None:
+            return hit["disparity"]
+    disp = np.asarray(
         DP.compute_disparity_map(jnp.asarray(imgL), jnp.asarray(imgR), ndisp, mindis)
     )
+    if cache is not None:
+        cache.save("disparity", ckey, {"disparity": disp})
+    return disp
 
 
 def reconstruct(disparity_map, Q) -> np.ndarray:
