@@ -2,10 +2,12 @@
 
 Replaces cv2.SIFT_create().detectAndCompute (reference gui.py:112-114,
 226-227; tunable contrastThreshold gui.py:212) for the geometry pipeline:
-multi-scale Harris-Laplace-style keypoints with dominant-orientation
-assignment and a SIFT-like 4x4x8 gradient-histogram descriptor (128-d,
-L2-normalized, 0.2-clipped). The learned XFeat path (models/xfeat.py) is
-the accelerated alternative, as the reference's branch documents.
+DoG scale-space extrema with cv2's absolute-contrast threshold semantics
+(ops/sift.py; the round-1 multi-scale Harris stand-in remains available
+as detector='harris'), dominant-orientation assignment, and a SIFT-like
+4x4x8 gradient-histogram descriptor (128-d, L2-normalized, 0.2-clipped).
+The learned XFeat path (models/xfeat.py) is the accelerated alternative,
+as the reference's branch documents.
 
 All stages are static-shape and vmapped: detection is a dense response +
 top-k, description is one vmapped kernel over all keypoints. Returns the
@@ -79,14 +81,39 @@ def detect_and_describe(
     contrast_threshold: float = 0.04,
     num_scales: int = 3,
     nms_radius: int = 4,
+    detector: str = "dog",
 ) -> Features:
-    """Multi-scale detection + SIFT-like description. img: (H, W) uint8.
+    """Scale-space detection + SIFT-like description. img: (H, W) uint8.
 
-    contrast_threshold mirrors the reference's tunable SIFT parameter
-    (gui.py:212): it scales the Harris response floor, so raising it keeps
-    fewer, stronger keypoints."""
+    detector='dog' (default): true DoG scale-space extrema with cv2's
+    contrastThreshold semantics — an ABSOLUTE contrast test on [0, 1]
+    images, tunable over the reference GUI's 0-0.1 range (gui.py:212,
+    546-553; ops/sift.py). detector='harris' keeps the round-1 multi-
+    scale Harris stand-in (relative response floor)."""
+    if detector == "dog":
+        from stereo_reconstruction_cv_tpu.ops import sift as SIFT
+
+        res = SIFT.detect_scale_space(img, contrast_threshold, max_keypoints)
+        imgf = img.astype(jnp.float32) / 255.0
+        return _describe(
+            imgf, res.keypoints, res.scores, jnp.maximum(res.sigmas, 0.8),
+            res.scores > 0,
+        )
+    return _harris_detect_and_describe(
+        img, max_keypoints, contrast_threshold, num_scales, nms_radius
+    )
+
+
+def _harris_detect_and_describe(
+    img: jnp.ndarray,
+    max_keypoints: int = 2048,
+    contrast_threshold: float = 0.04,
+    num_scales: int = 3,
+    nms_radius: int = 4,
+) -> Features:
+    """Round-1 multi-scale Harris detector (contrast_threshold acts as a
+    relative response floor — kept for comparison/fallback)."""
     imgf = img.astype(jnp.float32) / 255.0
-    H, W = imgf.shape
     per_scale = max_keypoints // num_scales
 
     all_pts, all_scores, all_sigmas = [], [], []
@@ -109,7 +136,13 @@ def detect_and_describe(
     scores = jnp.concatenate(all_scores)
     sigmas = jnp.concatenate(all_sigmas)
     valid = jnp.isfinite(scores) & (scores > 0)
+    return _describe(imgf, kpts, jnp.where(valid, scores, 0.0), sigmas, valid)
 
+
+def _describe(imgf, kpts, scores, sigmas, valid) -> Features:
+    """Dominant-orientation + SIFT-like 128-d description of given
+    keypoints; shared by the DoG and Harris detectors."""
+    H, W = imgf.shape
     # Precompute gradient maps of a lightly smoothed image.
     g = _blur(imgf, 1.0)
     gy, gx = jnp.gradient(g)
@@ -192,4 +225,4 @@ def detect_and_describe(
         & (kpts[:, 1] >= margin)
         & (kpts[:, 1] < H - margin)
     )
-    return Features(kpts, jnp.where(valid, scores, 0.0), descs, valid & inb)
+    return Features(kpts, scores, descs, valid & inb)
