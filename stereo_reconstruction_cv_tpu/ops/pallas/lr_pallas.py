@@ -28,7 +28,15 @@ _BIG = np.int32(1 << 29)
 
 def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
                D, min_disp, max_diff, x0, Wr, Wcp):
-    """One grid step = Ht rows, full padded width."""
+    """One grid step = Ht rows, full padded width.
+
+    Both D-length loops run as lax.fori_loop with DYNAMIC lane rotates
+    (tpu.dynamic_rotate): a fully unrolled Python loop left every
+    iteration's (Ht, W) temporaries live on the Mosaic stack — 113 MB of
+    scoped vmem at 4K x 256 against a 16 MB limit. The rotate replaces
+    the static shifted slice: rotating by -s and keeping the first W
+    lanes equals slice [s, s + W) whenever s + W <= Wtot (guaranteed by
+    the padding widths), so no wrapped lanes are ever read."""
     pb = pb_ref[...]
     pm = pm_ref[...]
     Ht = pb.shape[0]
@@ -36,33 +44,45 @@ def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
     # Right-view winner map (gather dual of OpenCV's scatter-min): for
     # right pixel xr, candidates are left pixels xr + min_disp + d whose
     # WTA winner is d; keep the smallest winning cost.
-    run_min = jnp.full((Ht, Wr), _BIG, jnp.int32)
-    run_arg = jnp.zeros((Ht, Wr), jnp.int32)
-    for d in range(D):
-        s = min_disp + d
-        b = jax.lax.slice_in_dim(pb, s, s + Wr, axis=1)
-        v = jnp.where(b == d, jax.lax.slice_in_dim(pm, s, s + Wr, axis=1), _BIG)
+    def scan_d(d, carry):
+        run_min, run_arg = carry
+        s = d + np.int32(min_disp)
+        b = pltpu.roll(pb, -s, 1)[:, :Wr]
+        v = jnp.where(b == d, pltpu.roll(pm, -s, 1)[:, :Wr], _BIG)
         take = v < run_min
-        run_min = jnp.where(take, v, run_min)
-        run_arg = jnp.where(take, np.int32(d), run_arg)
+        return jnp.where(take, v, run_min), jnp.where(take, d, run_arg)
+
+    run_min, run_arg = jax.lax.fori_loop(
+        0, D,
+        scan_d,
+        (jnp.full((Ht, Wr), _BIG, jnp.int32), jnp.zeros((Ht, Wr), jnp.int32)),
+    )
     has = run_min < _BIG
     disp_r = run_arg + np.int32(min_disp)
 
     # Agreement at the floor/ceil integer disparities. Left pixel x (full
     # column x + x0) checks its partner xr = x + x0 - di; iterating di
-    # turns the per-pixel partner lookup into static shifted slices.
+    # turns the per-pixel partner lookup into dynamic rotated slices.
     df = df_ref[...]
     dc = dc_ref[...]
-    okf = jnp.zeros((Ht, Wcp), jnp.bool_)
-    okc = jnp.zeros((Ht, Wcp), jnp.bool_)
-    for di in range(min_disp - 1, min_disp + D + 1):
-        st = x0 - di
-        dr = jax.lax.slice_in_dim(disp_r, st, st + Wcp, axis=1)
-        hp = jax.lax.slice_in_dim(has, st, st + Wcp, axis=1)
+
+    def scan_di(i, carry):
+        okf, okc = carry
+        di = i + np.int32(min_disp - 1)
+        st = np.int32(x0) - di
+        dr = pltpu.roll(disp_r, -st, 1)[:, :Wcp]
+        hp_i = pltpu.roll(has.astype(jnp.int32), -st, 1)[:, :Wcp]
         # No valid partner (incl. off-image, padded -1) -> check passes.
-        ok_d = (~hp) | (jnp.abs(dr - np.int32(di)) <= np.int32(max_diff))
-        okf = okf | ((df == np.int32(di)) & ok_d)
-        okc = okc | ((dc == np.int32(di)) & ok_d)
+        ok_d = (hp_i == 0) | (jnp.abs(dr - di) <= np.int32(max_diff))
+        okf = okf | ((df == di) & ok_d)
+        okc = okc | ((dc == di) & ok_d)
+        return okf, okc
+
+    okf, okc = jax.lax.fori_loop(
+        0, D + 2,
+        scan_di,
+        (jnp.zeros((Ht, Wcp), jnp.bool_), jnp.zeros((Ht, Wcp), jnp.bool_)),
+    )
     # cv2 invalidates only if BOTH the floor and ceil checks fail.
     out_ref[...] = (okf | okc).astype(jnp.int32)
 

@@ -51,6 +51,18 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1.0e7
 
 
+def _store_u16(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> u16 via i32: Mosaic has no direct float->unsigned lowering
+    (jax pallas/mosaic lowering._convert_helper raises); the value range
+    (<= 4*P2 = 46464) is exact through the i32 hop."""
+    return x.astype(jnp.int32).astype(jnp.uint16)
+
+
+def _load_u16_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """u16 -> f32 via i32 (Mosaic has no unsigned->float lowering)."""
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
 def _sgm_update(prev: jnp.ndarray, cost: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
     """One DP step on (..., D) f32 blocks (same math as ops.disparity).
 
@@ -119,7 +131,7 @@ def _vertical_kernel(c_ref, ds_ref, cu, cul, cur, *, p1, p2, reverse, rows):
         vul = _sgm_update(_shift_w(vul, -1), c, p1, p2)
         # UR: predecessor is (x+1, y-1).
         vur = _sgm_update(_shift_w(vur, +1), c, p1, p2)
-        ds_ref[k] = (vu + vul + vur - 3.0 * c).astype(jnp.uint16)
+        ds_ref[k] = _store_u16(vu + vul + vur - 3.0 * c)
     cu[...] = vu
     cul[...] = vul
     cur[...] = vur
@@ -192,7 +204,7 @@ def _vertical_tiled_kernel(
         vul = _sgm_update(_shift_w(vul, -1), c, p1, p2)
         vur = _sgm_update(_shift_w(vur, +1), c, p1, p2)
         total = (vu + vul + vur - 3.0 * c)[HB : HB + WT]
-        ds_ref[k] = total.astype(jnp.uint16)
+        ds_ref[k] = _store_u16(total)
     wslot = pl.ds(base + np.int32(HB), WT)
     cu[wslot] = vu[HB : HB + WT]
     cul[wslot] = vul[HB : HB + WT]
@@ -290,8 +302,8 @@ def _horizontal_kernel(c_ref, *rest, p1, p2, reverse, accumulate):
         cur = _sgm_update(cur, c, p1, p2)
         delta = cur - c
         if accumulate:
-            delta = delta + ds_in_ref[:, k, :].astype(jnp.float32)
-        ds_out_ref[:, k, :] = delta.astype(jnp.uint16)
+            delta = delta + _load_u16_f32(ds_in_ref[:, k, :])
+        ds_out_ref[:, k, :] = _store_u16(delta)
     carry[...] = cur
 
 
@@ -317,14 +329,13 @@ def _horizontal_wta_kernel(
         carry[...] = jnp.zeros_like(carry)
 
     cur = carry[...]
-    cols = [None] * COLS
     d_iota = None
     for k in range(COLS - 1, -1, -1):
         c = c_ref[:, k, :].astype(jnp.float32)  # (Ht, D)
         cur = _sgm_update(cur, c, p1, p2)
         s_f = cur
         for ds in ds_refs:
-            s_f = s_f + ds[:, k, :].astype(jnp.float32)
+            s_f = s_f + _load_u16_f32(ds[:, k, :])
         # dS volumes carry (L - C) sums for (ndirs - 1) directions; L_RL
         # (cur) already includes its C. Add back the missing (nd-1)*C.
         ndirs_minus_1 = 4.0 if nds == 1 else 7.0
@@ -355,21 +366,18 @@ def _horizontal_wta_kernel(
             + np.float32(min_disp)
         )
         f = jnp.float32
-        cols[k] = jnp.concatenate(
-            [
-                disp,
-                (1 - bad).astype(f),
-                best.astype(f),
-                minS.astype(f),
-                jnp.zeros_like(disp),
-                jnp.zeros_like(disp),
-                jnp.zeros_like(disp),
-                jnp.zeros_like(disp),
-            ],
-            axis=-1,
-        )[:, None, :]  # (Ht, 1, 8)
+        # Pack [disp, valid, best, minS] into 8 lanes WITHOUT a lane-axis
+        # concatenate: Mosaic cannot legalize concatenating 1-lane vectors
+        # ("result/input offset mismatch on non-concat dimension" on
+        # hardware; interpret mode accepted it). Lane-select instead:
+        # broadcast each (Ht, 1) field against an 8-lane iota and sum.
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (disp.shape[0], 8), 1)
+        fields = (disp, (1 - bad).astype(f), best.astype(f), minS.astype(f))
+        packed = jnp.zeros(lane8.shape, f)
+        for li, v in enumerate(fields):
+            packed = packed + jnp.where(lane8 == li, v, 0.0)
+        out_ref[:, k, :] = packed
     carry[...] = cur
-    out_ref[...] = jnp.concatenate(cols, axis=1)
 
 
 def _row_tile(H: int, max_tile: int = 256) -> int:

@@ -23,17 +23,25 @@ from stereo_reconstruction_cv_tpu import benchmarks as B
 
 
 def timed(step, args, iters):
+    """Async-dispatch timing with all outputs reduced to ONE scalar on
+    device: keeping `iters` full-size outputs in flight OOMs HBM when a
+    stage emits multi-GB volumes (4K x 256 cost volume is 4 GB), and the
+    reduction (~5 ms of extra HBM read at 4 GB) also forces execution
+    through the relay, where block_until_ready alone does not."""
     import jax
+    import jax.numpy as jnp
 
-    fn = jax.jit(step)
-    float(np.asarray(jax.tree.leaves(fn(*args))[0].sum()))
-    float(np.asarray(jax.tree.leaves(fn(*args))[0].sum()))
+    def reduced(*a):
+        leaves = jax.tree.leaves(step(*a))
+        return sum(jnp.sum(x, dtype=jnp.float32) for x in leaves)
+
+    fn = jax.jit(reduced)
+    float(np.asarray(fn(*args)))
+    float(np.asarray(fn(*args)))
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(iters)]
     for o in outs:
-        jax.tree.leaves(o)[0].block_until_ready()
-    # block_until_ready is unreliable through the relay; force one fetch.
-    float(np.asarray(jax.tree.leaves(outs[-1])[0]).reshape(-1)[0])
+        float(np.asarray(o))
     return (time.perf_counter() - t0) / iters
 
 
@@ -101,21 +109,27 @@ def main():
     full_ok = SP._lane_elems(Wc, D) <= 300_000
     vsweep = SP._sweep_vertical if full_ok else SP._sweep_vertical_tiled
     out["vertical_variant"] = "full" if full_ok else "tiled"
+    # HBM residency note: C and each delta volume are ~4 GB at 4K x 256 —
+    # materialize at most three at a time (C + dSa + dS2 = 12 GB peak on a
+    # 16 GB v5e) and drop dS1 before computing dS2.
     out["vert_fwd_ms"] = 1e3 * timed(
         lambda c: vsweep(c, p1f, p2f, False, False), (C,), it)
     out["vert_rev_ms"] = 1e3 * timed(
         lambda c: vsweep(c, p1f, p2f, True, False), (C,), it)
     dS1 = jax.jit(lambda c: vsweep(c, p1f, p2f, False, False))(C)
-    dS2 = jax.jit(lambda c: vsweep(c, p1f, p2f, True, False))(C)
-    jax.block_until_ready((dS1, dS2))
+    dS1.block_until_ready()
     out["horiz_fwd_ms"] = 1e3 * timed(
         lambda c, s: SP._sweep_horizontal(c, s, p1f, p2f, False, False), (C, dS1), it)
     dSa = jax.jit(
         lambda c, s: SP._sweep_horizontal(c, s, p1f, p2f, False, False))(C, dS1)
     dSa.block_until_ready()
+    del dS1
+    dS2 = jax.jit(lambda c: vsweep(c, p1f, p2f, True, False))(C)
+    dS2.block_until_ready()
     out["horiz_wta_ms"] = 1e3 * timed(
         lambda c, a, b: SP._sweep_horizontal_wta(c, [a, b], p1f, p2f, 10, 0, False),
         (C, dSa, dS2), it)
+    del dSa, dS2
 
     # --- full SGBM pieces ---
     disp, valid, best, minS = jax.jit(
