@@ -117,8 +117,22 @@ def detect(
     is_peak = (heat == pooled) & (heat > 0)
     scores = jnp.where(is_peak, heat, 0.0).ravel()
     top, idx = jax.lax.top_k(scores, max_keypoints)
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
+    yi = (idx // W).astype(jnp.int32)
+    xi = (idx % W).astype(jnp.int32)
+    # Quadratic subpixel refine on the heatmap: integer-snapped keypoints
+    # cost ~0.5 px of epipolar residual (x2 at the geometry path's
+    # detection downscale), which starves E-inlier counts on 4K pairs.
+    def frac(center, lo, hi):
+        denom = lo + hi - 2.0 * center
+        off = 0.5 * (lo - hi) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    xc = jnp.clip(xi, 1, W - 2)
+    yc = jnp.clip(yi, 1, H - 2)
+    ox = frac(heat[yc, xc], heat[yc, xc - 1], heat[yc, xc + 1])
+    oy = frac(heat[yc, xc], heat[yc - 1, xc], heat[yc + 1, xc])
+    xs = xi.astype(jnp.float32) + jnp.where(xi == xc, ox, 0.0)
+    ys = yi.astype(jnp.float32) + jnp.where(yi == yc, oy, 0.0)
     kpts = jnp.stack([xs, ys], axis=-1)
     # Bilinear descriptor sampling on the 1/8 grid.
     gx = xs / CELL - 0.5
@@ -145,9 +159,18 @@ def detect(
 # Self-supervised training (homographic pairs)
 # ---------------------------------------------------------------------------
 
-def random_homography(key, H: int, W: int, max_shift: float = 0.15):
-    """Random perspective warp mapping image A coords -> image B coords."""
-    k1, k2 = jax.random.split(key)
+def random_homography(
+    key, H: int, W: int, max_shift: float = 0.15,
+    max_rot: float = 0.35, scale_range: float = 0.25,
+):
+    """Random perspective warp mapping image A coords -> image B coords.
+
+    Composes rotation (+- max_rot rad), isotropic scale (1 +- scale_range)
+    and per-corner perspective jitter — viewpoint changes between real
+    stereo frames include all three; homography-only training left the
+    descriptors rotation/scale-brittle (round-2 XFEAT_EVAL: d2/d3 pose
+    failures)."""
+    k1, k2, k3 = jax.random.split(key, 3)
     # Explicit f32: under jax_enable_x64 the defaults promote to f64, and
     # TPU lacks f64 SVD/LU.
     corners = jnp.array([[0.0, 0.0], [W, 0.0], [0.0, H], [W, H]], jnp.float32)
@@ -155,6 +178,17 @@ def random_homography(key, H: int, W: int, max_shift: float = 0.15):
         k1, (4, 2), minval=-max_shift, maxval=max_shift, dtype=jnp.float32
     )
     target = corners + shift * jnp.array([W, H], jnp.float32)
+    # Rotate + scale the target quad about the image center.
+    ang = jax.random.uniform(k2, (), minval=-max_rot, maxval=max_rot,
+                             dtype=jnp.float32)
+    sc = jax.random.uniform(k3, (), minval=1.0 - scale_range,
+                            maxval=1.0 + scale_range, dtype=jnp.float32)
+    ca, sa = jnp.cos(ang) * sc, jnp.sin(ang) * sc
+    ctr = jnp.array([W / 2.0, H / 2.0], jnp.float32)
+    rel = target - ctr
+    target = ctr + jnp.stack(
+        [ca * rel[:, 0] - sa * rel[:, 1], sa * rel[:, 0] + ca * rel[:, 1]], -1
+    )
 
     # 4-point homography with h33 = 1: an 8x8 linear solve (TPU-friendly;
     # in-jit rectangular SVD aborts the TPU compiler).

@@ -93,7 +93,15 @@ def detect_and_describe(
     if detector == "dog":
         from stereo_reconstruction_cv_tpu.ops import sift as SIFT
 
-        res = SIFT.detect_scale_space(img, contrast_threshold, max_keypoints)
+        # cv2 doubles the input (firstOctave -1) for extra small-scale
+        # keypoints. At >= ~1 MPix the doubled base octave quadruples the
+        # pyramid cost for keypoints far below the matching scale of
+        # interest — detect from the native resolution there.
+        H, W = img.shape
+        first_octave = -1 if min(H, W) <= 800 else 0
+        res = SIFT.detect_scale_space(
+            img, contrast_threshold, max_keypoints, first_octave=first_octave
+        )
         imgf = img.astype(jnp.float32) / 255.0
         return _describe(
             imgf, res.keypoints, res.scores, jnp.maximum(res.sigmas, 0.8),

@@ -57,12 +57,14 @@ def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
         scan_d,
         (jnp.full((Ht, Wr), _BIG, jnp.int32), jnp.zeros((Ht, Wr), jnp.int32)),
     )
-    has = run_min < _BIG
+    has_i = (run_min < _BIG).astype(jnp.int32)
     disp_r = run_arg + np.int32(min_disp)
 
     # Agreement at the floor/ceil integer disparities. Left pixel x (full
     # column x + x0) checks its partner xr = x + x0 - di; iterating di
     # turns the per-pixel partner lookup into dynamic rotated slices.
+    # Carries are int32 0/1, NOT bool: fori_loop-carried i1 vectors hit a
+    # Mosaic internal error (mis-shaped arith.ori on packed i1 vregs).
     df = df_ref[...]
     dc = dc_ref[...]
 
@@ -71,20 +73,20 @@ def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
         di = i + np.int32(min_disp - 1)
         st = np.int32(x0) - di
         dr = pltpu.roll(disp_r, -st, 1)[:, :Wcp]
-        hp_i = pltpu.roll(has.astype(jnp.int32), -st, 1)[:, :Wcp]
+        hp_i = pltpu.roll(has_i, -st, 1)[:, :Wcp]
         # No valid partner (incl. off-image, padded -1) -> check passes.
-        ok_d = (hp_i == 0) | (jnp.abs(dr - di) <= np.int32(max_diff))
-        okf = okf | ((df == di) & ok_d)
-        okc = okc | ((dc == di) & ok_d)
+        ok_d = ((hp_i == 0) | (jnp.abs(dr - di) <= np.int32(max_diff)))
+        okf = okf | (((df == di) & ok_d)).astype(jnp.int32)
+        okc = okc | (((dc == di) & ok_d)).astype(jnp.int32)
         return okf, okc
 
     okf, okc = jax.lax.fori_loop(
         0, D + 2,
         scan_di,
-        (jnp.zeros((Ht, Wcp), jnp.bool_), jnp.zeros((Ht, Wcp), jnp.bool_)),
+        (jnp.zeros((Ht, Wcp), jnp.int32), jnp.zeros((Ht, Wcp), jnp.int32)),
     )
     # cv2 invalidates only if BOTH the floor and ceil checks fail.
-    out_ref[...] = (okf | okc).astype(jnp.int32)
+    out_ref[...] = okf | okc
 
 
 def lr_check_maps_pallas(

@@ -105,9 +105,24 @@ def robust_fit(
         if tiebreak_fn is not None:
             # Fractional bonus in [0, 1): orders models with equal inlier
             # counts (e.g. cheirality among the planar-degenerate E family)
-            # without ever outvoting an extra inlier.
-            score = score + jax.vmap(lambda m: tiebreak_fn(m, pts1, pts2, mask))(models)
-        best = jnp.argmax(score)
+            # without ever outvoting an extra inlier. Evaluated ONLY for
+            # the top-K models by inlier count: the bonus can never lift a
+            # model past one extra inlier, so anything below the K-th
+            # count can't win anyway — and evaluating it for all M*10
+            # multi-root candidates materializes (M*10, N, 3) pose-depth
+            # temporaries (gigabytes at M=1024, N=4096; observed minutes
+            # of wall time on the CPU test tier).
+            K = min(32, models.shape[0])
+            top_s, top_i = jax.lax.top_k(score, K)
+            bonus = jax.vmap(
+                lambda m: tiebreak_fn(m, pts1, pts2, mask)
+            )(models[top_i])
+            # Ignore bonuses for models strictly below the best count.
+            bonus = jnp.where(top_s >= top_s[0], bonus, 0.0)
+            best = top_i[jnp.argmax(top_s + bonus)]
+            score = score.at[top_i].add(bonus)
+        else:
+            best = jnp.argmax(score)
         best_inliers = inlier[best]
         best_score = score[best].astype(residuals.dtype)
     elif method == "lmeds":
@@ -267,6 +282,11 @@ def find_essential(
 
         solve = essential_5pt
         sample_size = 5
+        # Each 5-point sample yields up to 10 real roots, every one scored
+        # as a hypothesis — num_hypotheses budgets CANDIDATES, so draw
+        # ~num/8 samples (floor 64). Keeps residual/score work comparable
+        # to the 8-point path instead of 10x it.
+        num_hypotheses = max(64, num_hypotheses // 8)
     elif solver == "8pt":
         solve = lambda p1, p2: EP.essential_8pt(p1, p2)
         sample_size = 8

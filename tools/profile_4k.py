@@ -73,12 +73,22 @@ def main():
 
     out = {"shape": [H, W], "num_disp": D, "iters": it}
 
+    _path = os.path.join(os.path.dirname(__file__), "..", "docs", "PROFILE_4K.json")
+
+    def flush():
+        os.makedirs(os.path.dirname(_path), exist_ok=True)
+        rounded = {k: (round(v, 2) if isinstance(v, float) else v) for k, v in out.items()}
+        with open(_path, "w") as f:
+            json.dump(rounded, f, indent=1)
+        print(json.dumps(rounded, indent=1), flush=True)
+
     # --- rectify ---
     R1 = jnp.asarray(geo.R1, jnp.float32)
     P1 = jnp.asarray(geo.P1, jnp.float32)
     out["rectify_remap_x2_ms"] = 1e3 * timed(
         lambda a, b: (RC.rectify_remap(a, Kj, None, R1, P1),
                       RC.rectify_remap(b, Kj, None, R1, P1)), (l, r), it)
+    flush()
 
     # --- prefilter + cost producer ---
     cap = cfg.pre_filter_cap
@@ -93,12 +103,14 @@ def main():
         return ps
 
     out["prefilter_ms"] = 1e3 * timed(lambda a, b: planes(a, b), (l, r), it)
+    flush()
 
     def cost(a, b):
         sl, sr, rl, rr = planes(a, b)
         return cost_volume_pallas(sl, sr, rl, rr, D, 0)
 
     out["cost_producer_ms"] = 1e3 * timed(cost, (l, r), it) - out["prefilter_ms"]
+    flush()
 
     C = jax.jit(cost)(l, r)
     C.block_until_ready()
@@ -114,12 +126,15 @@ def main():
     # 16 GB v5e) and drop dS1 before computing dS2.
     out["vert_fwd_ms"] = 1e3 * timed(
         lambda c: vsweep(c, p1f, p2f, False, False), (C,), it)
+    flush()
     out["vert_rev_ms"] = 1e3 * timed(
         lambda c: vsweep(c, p1f, p2f, True, False), (C,), it)
+    flush()
     dS1 = jax.jit(lambda c: vsweep(c, p1f, p2f, False, False))(C)
     dS1.block_until_ready()
     out["horiz_fwd_ms"] = 1e3 * timed(
         lambda c, s: SP._sweep_horizontal(c, s, p1f, p2f, False, False), (C, dS1), it)
+    flush()
     dSa = jax.jit(
         lambda c, s: SP._sweep_horizontal(c, s, p1f, p2f, False, False))(C, dS1)
     dSa.block_until_ready()
@@ -129,6 +144,7 @@ def main():
     out["horiz_wta_ms"] = 1e3 * timed(
         lambda c, a, b: SP._sweep_horizontal_wta(c, [a, b], p1f, p2f, 10, 0, False),
         (C, dSa, dS2), it)
+    flush()
     del dSa, dS2
 
     # --- full SGBM pieces ---
@@ -138,6 +154,7 @@ def main():
     out["lr_check_xla_ms"] = 1e3 * timed(
         lambda b_, m_, d_: DP.lr_check_maps(b_, m_, d_, D, 0, 1),
         (best, minS, disp), it)
+    flush()
     from stereo_reconstruction_cv_tpu.ops.pallas.lr_pallas import (
         lr_check_maps_pallas,
     )
@@ -145,20 +162,25 @@ def main():
     out["lr_check_pallas_ms"] = 1e3 * timed(
         lambda b_, m_, d_: lr_check_maps_pallas(b_, m_, d_, D, 0, 1),
         (best, minS, disp), it)
+    flush()
 
     dfull = jnp.pad(disp, ((0, 0), (D, 0)), constant_values=-1.0)
     vfull = jnp.pad(valid, ((0, 0), (D, 0)), constant_values=False)
     out["speckle_propagate_ms"] = 1e3 * timed(
         lambda d_, v_: DP.speckle_filter(d_, v_, 100, 32.0), (dfull, vfull), it)
+    flush()
 
     out["reproject_ms"] = 1e3 * timed(
         lambda d_, v_: jnp.sum(jnp.where(v_[..., None],
                                          G.reproject_image_to_3d(d_, Q), 0.0)),
         (dfull, vfull), it)
+    flush()
 
     # --- whole SGBM in one jit for cross-check ---
+    del C  # the full pipeline materializes its own ~12 GB working set
     out["sgbm_total_ms"] = 1e3 * timed(
         lambda a, b: DP.sgbm_disparity(a, b, cfg)[0].sum(), (l, r), max(2, it // 2))
+    flush()
 
     sweep_bytes = {
         "vert_fwd": 2 + 2, "vert_rev": 2 + 2, "horiz_fwd": 2 + 4, "horiz_wta": 2 + 4,
@@ -171,12 +193,7 @@ def main():
     out["achieved_bandwidth"] = bw
     out["cells"] = cells
 
-    os.makedirs("docs", exist_ok=True)
-    path = os.path.join(os.path.dirname(__file__), "..", "docs", "PROFILE_4K.json")
-    rounded = {k: (round(v, 2) if isinstance(v, float) else v) for k, v in out.items()}
-    with open(path, "w") as f:
-        json.dump(rounded, f, indent=1)
-    print(json.dumps(rounded, indent=1))
+    flush()
 
 
 if __name__ == "__main__":
