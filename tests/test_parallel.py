@@ -80,6 +80,77 @@ class TestShardedSGM:
         assert np.asarray(valid).any()
 
 
+class TestExactSharded:
+    def test_bit_exact_vs_single_device(self, rng):
+        """Exact mode (sequential carry handoff) == single-device XLA SGBM,
+        bit for bit, even on adversarial random noise (VERDICT r2 item 7)."""
+        cfg = SGBMConfig(num_disparities=16, num_directions=8,
+                         speckle_window_size=0, backend="xla")
+        left, right = make_batch(rng, B=2, H=96, W=192)
+        mesh = M.make_mesh(n_data=2, n_space=4)
+        lj = jax.device_put(jnp.asarray(left), M.batch_row_sharding(mesh))
+        rj = jax.device_put(jnp.asarray(right), M.batch_row_sharding(mesh))
+        disp_s, valid_s = jax.jit(
+            lambda a, b: sharded_sgbm_disparity(mesh, a, b, cfg, exact=True)
+        )(lj, rj)
+        disp_1, valid_1 = jax.vmap(lambda a, b: DP.sgbm_disparity(a, b, cfg))(
+            jnp.asarray(left), jnp.asarray(right)
+        )
+        assert np.array_equal(np.asarray(valid_s), np.asarray(valid_1))
+        np.testing.assert_array_equal(np.asarray(disp_s), np.asarray(disp_1))
+
+    def test_bit_exact_across_mesh_shapes(self, rng):
+        """The same pair produces identical bits on 1x4 and 2x2 meshes."""
+        cfg = SGBMConfig(num_disparities=16, num_directions=5,
+                         speckle_window_size=0, backend="xla")
+        left, right = make_batch(rng, B=2, H=64, W=128)
+        outs = []
+        for nd, ns in [(2, 2), (1, 4), (2, 4)]:
+            mesh = M.make_mesh(n_data=nd, n_space=ns)
+            lj = jax.device_put(jnp.asarray(left[:nd]), M.batch_row_sharding(mesh))
+            rj = jax.device_put(jnp.asarray(right[:nd]), M.batch_row_sharding(mesh))
+            d, v = jax.jit(
+                lambda a, b: sharded_sgbm_disparity(mesh, a, b, cfg, exact=True)
+            )(lj, rj)
+            outs.append((np.asarray(d), np.asarray(v)))
+        for d, v in outs[1:]:
+            np.testing.assert_array_equal(d[:1], outs[0][0][:1])
+            assert np.array_equal(v[:1], outs[0][1][:1])
+
+    @pytest.mark.slow
+    def test_realistic_shape_agreement(self):
+        """Realistic shape (512x768x64, mesh 2x4): exact mode is
+        bit-identical; halo warm-start agrees on >=99.5% of pixels."""
+        import cv2
+
+        img = cv2.resize(
+            cv2.imread("/root/reference/dataset/d2/img1.jpg", 0), (832, 512)
+        )
+        d0 = 64
+        left = np.stack([img[:, d0:], img[::-1, d0:]])
+        right = np.stack([img[:, :-d0], img[::-1, :-d0]])  # (2, 512, 768)
+        cfg = SGBMConfig(num_disparities=64, num_directions=8,
+                         speckle_window_size=0, backend="xla")
+        mesh = M.make_mesh(n_data=2, n_space=4)
+        lj = jax.device_put(jnp.asarray(left), M.batch_row_sharding(mesh))
+        rj = jax.device_put(jnp.asarray(right), M.batch_row_sharding(mesh))
+        disp_e, valid_e = jax.jit(
+            lambda a, b: sharded_sgbm_disparity(mesh, a, b, cfg, exact=True)
+        )(lj, rj)
+        disp_h, valid_h = jax.jit(
+            lambda a, b: sharded_sgbm_disparity(mesh, a, b, cfg, halo=32)
+        )(lj, rj)
+        disp_1, valid_1 = jax.vmap(lambda a, b: DP.sgbm_disparity(a, b, cfg))(
+            jnp.asarray(left), jnp.asarray(right)
+        )
+        np.testing.assert_array_equal(np.asarray(disp_e), np.asarray(disp_1))
+        assert np.array_equal(np.asarray(valid_e), np.asarray(valid_1))
+        vh, v1 = np.asarray(valid_h), np.asarray(valid_1)
+        both = vh & v1
+        agree = (np.abs(np.asarray(disp_h) - np.asarray(disp_1))[both] <= 1 / 16).mean()
+        assert agree >= 0.995, f"halo warm-start agreement {agree:.4f}"
+
+
 @pytest.mark.slow
 class TestStreaming:
     def test_stream_reconstruct_emits_clouds(self, tmp_path, cfg):
