@@ -454,6 +454,7 @@ def speckle_filter(
     max_speckle_size: int = 100,
     max_diff: float = 32.0,
     max_rounds: int = 64,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Remove small connected components of similar disparity
     (cv2.filterSpeckles semantics: 4-connectivity, |d(p)-d(q)| <= max_diff,
@@ -482,9 +483,22 @@ def speckle_filter(
     ch = jnp.concatenate([jnp.zeros((H, 1), bool), conn_r], axis=1)
     cv = jnp.concatenate([jnp.zeros((1, W), bool), conn_d], axis=0)
 
-    def one_round(lab):
-        lab = _seg_min_flood(lab, ch, axis=1, big=big)
-        return _seg_min_flood(lab, cv, axis=0, big=big)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # All doubling levels of a flood inside VMEM: one HBM round-trip
+        # per axis per round vs ~log2(n) for the XLA pad/shift chain.
+        from stereo_reconstruction_cv_tpu.ops.pallas.speckle_pallas import (
+            flood_round_pallas,
+        )
+
+        ch_i = ch.astype(jnp.int32)
+        cv_i = cv.astype(jnp.int32)
+        one_round = lambda lab: flood_round_pallas(lab, ch_i, cv_i)
+    else:
+        def one_round(lab):
+            lab = _seg_min_flood(lab, ch, axis=1, big=big)
+            return _seg_min_flood(lab, cv, axis=0, big=big)
 
     def cond(state):
         _, changed, i = state

@@ -40,6 +40,12 @@ def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
     pb = pb_ref[...]
     pm = pm_ref[...]
     Ht = pb.shape[0]
+    Wtot = pb.shape[1]
+
+    # ALL dynamic rotate amounts must be non-negative: a dynamic NEGATIVE
+    # roll amount miscompiles on hardware Mosaic once the row spans >2
+    # vregs (measured ~40% wrong lanes at (32, 768); interpret mode and
+    # narrow blocks agree fine). jnp.mod(-s, W) is the same rotation.
 
     # Right-view winner map (gather dual of OpenCV's scatter-min): for
     # right pixel xr, candidates are left pixels xr + min_disp + d whose
@@ -47,8 +53,9 @@ def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
     def scan_d(d, carry):
         run_min, run_arg = carry
         s = d + np.int32(min_disp)
-        b = pltpu.roll(pb, -s, 1)[:, :Wr]
-        v = jnp.where(b == d, pltpu.roll(pm, -s, 1)[:, :Wr], _BIG)
+        amt = jnp.mod(-s, np.int32(Wtot))
+        b = pltpu.roll(pb, amt, 1)[:, :Wr]
+        v = jnp.where(b == d, pltpu.roll(pm, amt, 1)[:, :Wr], _BIG)
         take = v < run_min
         return jnp.where(take, v, run_min), jnp.where(take, d, run_arg)
 
@@ -72,8 +79,9 @@ def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
         okf, okc = carry
         di = i + np.int32(min_disp - 1)
         st = np.int32(x0) - di
-        dr = pltpu.roll(disp_r, -st, 1)[:, :Wcp]
-        hp_i = pltpu.roll(has_i, -st, 1)[:, :Wcp]
+        amt = jnp.mod(-st, np.int32(disp_r.shape[1]))
+        dr = pltpu.roll(disp_r, amt, 1)[:, :Wcp]
+        hp_i = pltpu.roll(has_i, amt, 1)[:, :Wcp]
         # No valid partner (incl. off-image, padded -1) -> check passes.
         ok_d = ((hp_i == 0) | (jnp.abs(dr - di) <= np.int32(max_diff)))
         okf = okf | (((df == di) & ok_d)).astype(jnp.int32)

@@ -318,10 +318,17 @@ def _horizontal_wta_kernel(
     volume never exists in HBM — the output block is (Ht, COLS, 8) f32
     packing [disp, uniqueness-valid, best d, winning cost] in lanes 0..3
     (8-lane blocks are the smallest legal TPU lane dim; best/minS are
-    exact in f32, both < 2^24)."""
+    exact in f32, both < 2^24).
+
+    Only the DP recurrence runs in the sequential 16-column loop; the
+    per-pixel S volumes are staged into a VMEM scratch and the ~10 WTA
+    reductions run ONCE on the whole (Ht, COLS, D) block. Interleaving
+    them into the column loop serialized the VPU behind tiny (Ht, D)
+    reductions — measured 51 GB/s vs the plain sweep's 120 (r3 profile)."""
     ds_refs = rest[:nds]
     out_ref = rest[nds]
     carry = rest[nds + 1]
+    s_buf = rest[nds + 2]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -329,55 +336,55 @@ def _horizontal_wta_kernel(
         carry[...] = jnp.zeros_like(carry)
 
     cur = carry[...]
-    d_iota = None
+    ndirs_minus_1 = 4.0 if nds == 1 else 7.0
     for k in range(COLS - 1, -1, -1):
         c = c_ref[:, k, :].astype(jnp.float32)  # (Ht, D)
         cur = _sgm_update(cur, c, p1, p2)
-        s_f = cur
+        s_f = cur + np.float32(ndirs_minus_1) * c
         for ds in ds_refs:
             s_f = s_f + _load_u16_f32(ds[:, k, :])
         # dS volumes carry (L - C) sums for (ndirs - 1) directions; L_RL
-        # (cur) already includes its C. Add back the missing (nd-1)*C.
-        ndirs_minus_1 = 4.0 if nds == 1 else 7.0
-        S = (s_f + np.float32(ndirs_minus_1) * c).astype(jnp.int32)
-        if d_iota is None:
-            d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
-        minS = jnp.min(S, axis=-1, keepdims=True)
-        big_i = np.int32(1 << 30)
-        best = jnp.min(
-            jnp.where(S == minS, d_iota, big_i), axis=-1, keepdims=True
-        )  # first argmin, matching jnp.argmin
-        # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
-        # S[d]*(100 - ratio) < minS*100 (int32 exact).
-        far = jnp.abs(d_iota - best) > 1
-        close = (S * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)) & far
-        bad = jnp.max(close.astype(jnp.int32), axis=-1, keepdims=True)
-        # Subpixel neighbors via one-hot masked reductions.
-        bm1 = jnp.maximum(best - 1, 0)
-        bp1 = jnp.minimum(best + 1, np.int32(D - 1))
-        Sm1 = jnp.sum(jnp.where(d_iota == bm1, S, 0), axis=-1, keepdims=True)
-        Sp1 = jnp.sum(jnp.where(d_iota == bp1, S, 0), axis=-1, keepdims=True)
-        denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
-        frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
-        interior = (best > 0) & (best < D - 1)
-        disp = (
-            best.astype(jnp.float32)
-            + jnp.where(interior, frac, 0.0)
-            + np.float32(min_disp)
-        )
-        f = jnp.float32
-        # Pack [disp, valid, best, minS] into 8 lanes WITHOUT a lane-axis
-        # concatenate: Mosaic cannot legalize concatenating 1-lane vectors
-        # ("result/input offset mismatch on non-concat dimension" on
-        # hardware; interpret mode accepted it). Lane-select instead:
-        # broadcast each (Ht, 1) field against an 8-lane iota and sum.
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (disp.shape[0], 8), 1)
-        fields = (disp, (1 - bad).astype(f), best.astype(f), minS.astype(f))
-        packed = jnp.zeros(lane8.shape, f)
-        for li, v in enumerate(fields):
-            packed = packed + jnp.where(lane8 == li, v, 0.0)
-        out_ref[:, k, :] = packed
+        # (cur) already includes its C — s_f adds back the missing C terms.
+        s_buf[:, k, :] = s_f
     carry[...] = cur
+
+    S = s_buf[...].astype(jnp.int32)  # (Ht, COLS, D)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
+    minS = jnp.min(S, axis=-1, keepdims=True)
+    big_i = np.int32(1 << 30)
+    best = jnp.min(
+        jnp.where(S == minS, d_iota, big_i), axis=-1, keepdims=True
+    )  # first argmin, matching jnp.argmin
+    # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
+    # S[d]*(100 - ratio) < minS*100 (int32 exact).
+    far = jnp.abs(d_iota - best) > 1
+    close = (S * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)) & far
+    bad = jnp.max(close.astype(jnp.int32), axis=-1, keepdims=True)
+    # Subpixel neighbors via one-hot masked reductions.
+    bm1 = jnp.maximum(best - 1, 0)
+    bp1 = jnp.minimum(best + 1, np.int32(D - 1))
+    Sm1 = jnp.sum(jnp.where(d_iota == bm1, S, 0), axis=-1, keepdims=True)
+    Sp1 = jnp.sum(jnp.where(d_iota == bp1, S, 0), axis=-1, keepdims=True)
+    denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
+    frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
+    interior = (best > 0) & (best < D - 1)
+    disp = (
+        best.astype(jnp.float32)
+        + jnp.where(interior, frac, 0.0)
+        + np.float32(min_disp)
+    )
+    f = jnp.float32
+    # Pack [disp, valid, best, minS] into 8 lanes WITHOUT a lane-axis
+    # concatenate: Mosaic cannot legalize concatenating 1-lane vectors
+    # ("result/input offset mismatch on non-concat dimension" on
+    # hardware; interpret mode accepted it). Lane-select instead:
+    # broadcast each (Ht, COLS, 1) field against an 8-lane iota and sum.
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, disp.shape[:2] + (8,), 2)
+    fields = (disp, (1 - bad).astype(f), best.astype(f), minS.astype(f))
+    packed = jnp.zeros(lane8.shape, f)
+    for li, v in enumerate(fields):
+        packed = packed + jnp.where(lane8 == li, v, 0.0)
+    out_ref[...] = packed
 
 
 def _row_tile(H: int, max_tile: int = 256) -> int:
@@ -506,7 +513,8 @@ def _sweep_horizontal_wta(
         in_specs=[spec] * (1 + len(dS_list)),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Hp, Wp, 8), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32),
+                        pltpu.VMEM((Ht, COLS, D), jnp.float32)],
         interpret=interpret,
     )(C, *dS_list)
     packed = packed[:H, :W]

@@ -1,0 +1,63 @@
+"""Pallas speckle flood kernels vs the XLA segmented min-flood.
+
+The Pallas round must be bit-identical to two _seg_min_flood passes (the
+flood axis is never tiled, so block boundaries cannot cut a segment) —
+which in turn is pinned to exact cv2.filterSpeckles agreement by
+tests/test_disparity.py."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereo_reconstruction_cv_tpu.ops import disparity as DP
+from stereo_reconstruction_cv_tpu.ops.pallas.speckle_pallas import (
+    flood_round_pallas,
+)
+
+
+def _random_speckle_case(seed, H, W, p_invalid=0.4, max_diff=5.0):
+    rng = np.random.default_rng(seed)
+    disp = (rng.random((H, W)) * 60).astype(np.float32)
+    valid = rng.random((H, W)) >= p_invalid
+    disp = np.where(valid, disp, 0.0)
+    return jnp.asarray(disp), jnp.asarray(valid)
+
+
+@pytest.mark.parametrize("shape", [(48, 256), (56, 384), (128, 128)])
+def test_flood_round_matches_xla(shape):
+    H, W = shape
+    disp, valid = _random_speckle_case(0, H, W)
+    big = jnp.int32(H * W)
+    lab = jnp.where(
+        valid, jnp.arange(H * W, dtype=jnp.int32).reshape(H, W), big
+    )
+    ch = jnp.concatenate(
+        [jnp.zeros((H, 1), bool),
+         (jnp.abs(disp[:, 1:] - disp[:, :-1]) <= 5.0)
+         & valid[:, 1:] & valid[:, :-1]], axis=1)
+    cv = jnp.concatenate(
+        [jnp.zeros((1, W), bool),
+         (jnp.abs(disp[1:, :] - disp[:-1, :]) <= 5.0)
+         & valid[1:, :] & valid[:-1, :]], axis=0)
+    ref = DP._seg_min_flood(lab, ch, axis=1, big=big)
+    ref = DP._seg_min_flood(ref, cv, axis=0, big=big)
+    got = flood_round_pallas(
+        lab, ch.astype(jnp.int32), cv.astype(jnp.int32), interpret=True
+    )
+    assert bool(jnp.all(got == ref))
+
+
+def test_speckle_filter_backends_agree():
+    disp, valid = _random_speckle_case(3, 64, 256)
+    import unittest.mock as mock
+
+    import stereo_reconstruction_cv_tpu.ops.pallas.speckle_pallas as SPK
+
+    ref = DP.speckle_filter(disp, valid, 20, 5.0, use_pallas=False)
+    orig = SPK.flood_round_pallas
+    with mock.patch.object(
+        SPK, "flood_round_pallas",
+        lambda lab, ch, cv: orig(lab, ch, cv, interpret=True),
+    ):
+        got = DP.speckle_filter(disp, valid, 20, 5.0, use_pallas=True)
+    assert bool(jnp.all(got == ref))

@@ -125,6 +125,20 @@ def main(out_path="docs/HW_PARITY.json"):
         diff = (np.asarray(out_p) != np.asarray(out_x)).sum()
         record("lr_check_pallas", (H, Wc, D), diff == 0, diff, dt_p, dt_x)
 
+    # --- Pallas speckle flood rounds vs the XLA segmented min-flood -------
+    for (H, W) in [(240, 512), (360, 640)]:
+        disp = jnp.asarray(rng.random((H, W)) * 60, jnp.float32)
+        valid = jnp.asarray(rng.random((H, W)) >= 0.4)
+        disp = jnp.where(valid, disp, 0.0)
+        f_p = jax.jit(lambda d, v: DP.speckle_filter(d, v, 50, 5.0,
+                                                     use_pallas=True))
+        f_x = jax.jit(lambda d, v: DP.speckle_filter(d, v, 50, 5.0,
+                                                     use_pallas=False))
+        out_p, dt_p = timed(f_p, disp, valid)
+        out_x, dt_x = timed(f_x, disp, valid)
+        diff = (np.asarray(out_p) != np.asarray(out_x)).sum()
+        record("speckle_flood_pallas", (H, W), diff == 0, diff, dt_p, dt_x)
+
     # --- Full SGBM Pallas backend vs XLA backend on a real pair -----------
     try:
         import cv2
