@@ -18,6 +18,11 @@ import jax
 # override via config (env var alone is not enough once it has registered).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the fast tier is compile-dominated (interpret
+# kernels, the 5-point companion solve); repeat runs skip straight to
+# execution.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np
 import pytest

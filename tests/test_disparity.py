@@ -257,6 +257,7 @@ class TestSpeckleConvergent:
         valid = rng.uniform(size=(240, 320)) > 0.35
         assert self._agree(disp, valid) == 1.0
 
+    @pytest.mark.slow
     def test_d2_device_path_exact(self):
         imL = cv2.resize(cv2.imread("/root/reference/dataset/d2/img1.jpg", 0), (640, 360))
         imR = cv2.resize(cv2.imread("/root/reference/dataset/d2/img2.jpg", 0), (640, 360))

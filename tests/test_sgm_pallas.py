@@ -26,6 +26,7 @@ def test_column_tiled_vertical_bitexact(rng, shape, reverse):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndirs", [pytest.param(5, marks=pytest.mark.slow), 8])
 @pytest.mark.parametrize("shape", [(24, 32, 16), pytest.param((30, 41, 16), marks=pytest.mark.slow)])  # incl. unpadded
 def test_bitexact_vs_xla(rng, ndirs, shape):
@@ -37,7 +38,7 @@ def test_bitexact_vs_xla(rng, ndirs, shape):
     assert jnp.array_equal(ref, out), int(jnp.abs(ref - out).max())
 
 
-@pytest.mark.parametrize("ndirs", [pytest.param(5, marks=pytest.mark.slow), 8])
+@pytest.mark.parametrize("ndirs", [5, pytest.param(8, marks=pytest.mark.slow)])
 @pytest.mark.parametrize("shape", [(24, 32, 16), pytest.param((30, 41, 16), marks=pytest.mark.slow)])
 def test_wta_fused_matches_xla(rng, ndirs, shape):
     """sgm_wta_pallas == wta_disparity(sgm_aggregate(...)) + lr maps."""

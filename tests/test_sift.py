@@ -21,7 +21,11 @@ def _load(d, size=(480, 270)):
     return imL, imR
 
 
-@pytest.mark.parametrize("ct", [0.01, 0.04, 0.08])
+@pytest.mark.parametrize("ct", [
+    pytest.param(0.01, marks=pytest.mark.slow),
+    0.04,
+    pytest.param(0.08, marks=pytest.mark.slow),
+])
 def test_keypoint_count_parity_d2(ct):
     img, _ = _load("d2")
     res = S.detect_scale_space(np.asarray(img), ct, max_keypoints=2048)
@@ -31,7 +35,7 @@ def test_keypoint_count_parity_d2(ct):
 
 
 def test_threshold_monotone():
-    img, _ = _load("d3")
+    img, _ = _load("d3", size=(384, 216))
     counts = [
         int(S.detect_scale_space(np.asarray(img), ct).num_detected)
         for ct in (0.01, 0.04, 0.08)

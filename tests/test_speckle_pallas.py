@@ -23,7 +23,11 @@ def _random_speckle_case(seed, H, W, p_invalid=0.4, max_diff=5.0):
     return jnp.asarray(disp), jnp.asarray(valid)
 
 
-@pytest.mark.parametrize("shape", [(48, 256), (56, 384), (128, 128)])
+@pytest.mark.parametrize("shape", [
+    (48, 256),
+    pytest.param((56, 384), marks=pytest.mark.slow),
+    pytest.param((128, 128), marks=pytest.mark.slow),
+])
 def test_flood_round_matches_xla(shape):
     H, W = shape
     disp, valid = _random_speckle_case(0, H, W)
@@ -48,7 +52,7 @@ def test_flood_round_matches_xla(shape):
 
 
 def test_speckle_filter_backends_agree():
-    disp, valid = _random_speckle_case(3, 64, 256)
+    disp, valid = _random_speckle_case(3, 48, 192)
     import unittest.mock as mock
 
     import stereo_reconstruction_cv_tpu.ops.pallas.speckle_pallas as SPK

@@ -45,6 +45,7 @@ def test_recovers_rig_geometry(rng):
     assert float(res.rms) < 0.2
 
 
+@pytest.mark.slow
 def test_parity_with_cv2_stereo_calibrate(rng):
     """cv2 needs per-camera pre-calibration (its standard workflow — with
     None initials this cv2 build degenerates to fx=1); we compare both
