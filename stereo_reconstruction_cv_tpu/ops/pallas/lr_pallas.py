@@ -42,56 +42,72 @@ def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
     Ht = pb.shape[0]
     Wtot = pb.shape[1]
 
-    # ALL dynamic rotate amounts must be non-negative: a dynamic NEGATIVE
-    # roll amount miscompiles on hardware Mosaic once the row spans >2
-    # vregs (measured ~40% wrong lanes at (32, 768); interpret mode and
-    # narrow blocks agree fine). jnp.mod(-s, W) is the same rotation.
+    # Roll amounts are STATIC: a dynamic (traced) rotate lowers to a
+    # log-width select tree PER CALL (~7 ops/vreg) — carrying the rolled
+    # maps and advancing them by a constant +1 rotation each iteration
+    # cut this kernel 23 -> ~6 ms at 4K x 128 (r3 chained timing). All
+    # amounts are non-negative: a NEGATIVE roll amount miscompiles on
+    # hardware Mosaic once the row spans >2 vregs; mod(-s, W) is the same
+    # rotation. The wrapped lanes are never read ([:, :Wr] with
+    # s + Wr <= Wtot by the padding widths).
 
     # Right-view winner map (gather dual of OpenCV's scatter-min): for
     # right pixel xr, candidates are left pixels xr + min_disp + d whose
-    # WTA winner is d; keep the smallest winning cost.
-    def scan_d(d, carry):
-        run_min, run_arg = carry
-        s = d + np.int32(min_disp)
-        amt = jnp.mod(-s, np.int32(Wtot))
-        b = pltpu.roll(pb, amt, 1)[:, :Wr]
-        v = jnp.where(b == d, pltpu.roll(pm, amt, 1)[:, :Wr], _BIG)
-        take = v < run_min
-        return jnp.where(take, v, run_min), jnp.where(take, d, run_arg)
+    # WTA winner is d; keep the smallest winning cost. Iteration d reads
+    # the maps rolled left by (min_disp + d).
+    step1 = np.int32(Wtot - 1)  # +1 left-rotation per iteration
 
-    run_min, run_arg = jax.lax.fori_loop(
+    def scan_d(d, carry):
+        run_min, run_arg, pb_r, pm_r = carry
+        b = pb_r[:, :Wr]
+        v = jnp.where(b == d, pm_r[:, :Wr], _BIG)
+        take = v < run_min
+        return (jnp.where(take, v, run_min), jnp.where(take, d, run_arg),
+                pltpu.roll(pb_r, step1, 1), pltpu.roll(pm_r, step1, 1))
+
+    amt0 = int((-min_disp) % Wtot)
+    run_min, run_arg, _, _ = jax.lax.fori_loop(
         0, D,
         scan_d,
-        (jnp.full((Ht, Wr), _BIG, jnp.int32), jnp.zeros((Ht, Wr), jnp.int32)),
+        (jnp.full((Ht, Wr), _BIG, jnp.int32), jnp.zeros((Ht, Wr), jnp.int32),
+         pltpu.roll(pb, np.int32(amt0), 1), pltpu.roll(pm, np.int32(amt0), 1)),
     )
     has_i = (run_min < _BIG).astype(jnp.int32)
     disp_r = run_arg + np.int32(min_disp)
 
     # Agreement at the floor/ceil integer disparities. Left pixel x (full
     # column x + x0) checks its partner xr = x + x0 - di; iterating di
-    # turns the per-pixel partner lookup into dynamic rotated slices.
-    # Carries are int32 0/1, NOT bool: fori_loop-carried i1 vectors hit a
-    # Mosaic internal error (mis-shaped arith.ori on packed i1 vregs).
+    # turns the per-pixel partner lookup into rotated slices, advanced by
+    # a constant +1 rotation per iteration (same static-roll carry trick
+    # as above). Carries are int32 0/1, NOT bool: fori_loop-carried i1
+    # vectors hit a Mosaic internal error (mis-shaped arith.ori on packed
+    # i1 vregs).
     df = df_ref[...]
     dc = dc_ref[...]
+    nR = disp_r.shape[1]
+    # Iteration i uses di = min_disp - 1 + i, slice start st = x0 - di:
+    # st DEcreases with i, so the rotation amount (di - x0 mod n) advances
+    # by +1 per iteration (scan_d's advances by -1 == Wtot - 1).
+    stepR = np.int32(1)
+    amtR = int((min_disp - 1 - x0) % nR)
 
     def scan_di(i, carry):
-        okf, okc = carry
+        okf, okc, dr_r, hp_r = carry
         di = i + np.int32(min_disp - 1)
-        st = np.int32(x0) - di
-        amt = jnp.mod(-st, np.int32(disp_r.shape[1]))
-        dr = pltpu.roll(disp_r, amt, 1)[:, :Wcp]
-        hp_i = pltpu.roll(has_i, amt, 1)[:, :Wcp]
+        dr = dr_r[:, :Wcp]
+        hp_i = hp_r[:, :Wcp]
         # No valid partner (incl. off-image, padded -1) -> check passes.
         ok_d = ((hp_i == 0) | (jnp.abs(dr - di) <= np.int32(max_diff)))
         okf = okf | (((df == di) & ok_d)).astype(jnp.int32)
         okc = okc | (((dc == di) & ok_d)).astype(jnp.int32)
-        return okf, okc
+        return okf, okc, pltpu.roll(dr_r, stepR, 1), pltpu.roll(hp_r, stepR, 1)
 
-    okf, okc = jax.lax.fori_loop(
+    okf, okc, _, _ = jax.lax.fori_loop(
         0, D + 2,
         scan_di,
-        (jnp.zeros((Ht, Wcp), jnp.int32), jnp.zeros((Ht, Wcp), jnp.int32)),
+        (jnp.zeros((Ht, Wcp), jnp.int32), jnp.zeros((Ht, Wcp), jnp.int32),
+         pltpu.roll(disp_r, np.int32(amtR), 1),
+         pltpu.roll(has_i.astype(jnp.int32), np.int32(amtR), 1)),
     )
     # cv2 invalidates only if BOTH the floor and ceil checks fail.
     out_ref[...] = okf | okc

@@ -4,29 +4,32 @@ The SGM recurrence L_r(p,d) = C(p,d) + min(L[d], L[d±1]+P1, minL+P2) - minL
 is sequential along each path but dense over (pixels-perpendicular x D) —
 ideal for a Pallas sweep: the TPU grid iterates *sequentially*, so a VMEM
 scratch buffer carries the DP state from one grid step to the next while
-the block pipeline streams the cost volume through VMEM exactly once per
-sweep. Four sweeps cover all 8 directions:
+the block pipeline streams the cost volume through VMEM exactly once.
 
-  top-down    grid (H,): directions {U, UL, UR}   carry 3x(W, D)
-  bottom-up   grid (H,): directions {D, DL, DR}   carry 3x(W, D)
-  left-right  grid (W,): direction  {L}           carry (H, D)
-  right-left  grid (W,): direction  {R}  + WTA    carry (H, D)
+v4 layout (r3; chained-timing profiles — tools/timing.py — showed the
+v3 horizontal kernels ran 3-6x slower per direction-cell than the
+vertical ones, and the fused WTA dominated the whole pipeline):
 
-v3 streams 16-bit everywhere (round-2 ran f32 S at ~18% of the HBM
-roofline): each direction's DP term satisfies 0 <= L - C <= P2 (the min
-never exceeds minL + P2 and never undershoots minL), so a 3-direction
-delta sum fits uint16 (3*11616 = 34848 < 65535) and a 4-direction one
-still does (46464). The sweeps therefore exchange ONLY delta volumes:
+  1. vertical {U, UL, UR} on C (H-major)           -> dsa u16  (3 dirs)
+  2. [8-dir: reversed triple {D, DL, DR}           -> dsb u16]
+  3. one XLA transpose of C (and of each ds): ~3 ms at 4K/128 — cheaper
+     than any in-kernel alternative
+  4. horizontal L then R on C_T (W-major), each accumulating onto the
+     transposed delta volume: column k of a (WCOLS, Ht, D) block is a
+     CONTIGUOUS leading-dim slice. The v3 (Ht, COLS, D) H-major blocks
+     paid ~8 sublane-select ops per output vreg on every c[:, k, :]
+     slice — measured 40 ms vs 22 ms for this layout at 4K/128.
+  5. winner-take-all as a SEPARATE elementwise pass over (C_T, ds...):
+     butterfly all-reduces (lane rotate + min, log2(D) steps, result
+     replicated in-register). Fusing the reductions into a DP sweep
+     serializes them behind the carry chain: measured 173 ms fused vs
+     ~80 ms standalone at 4K/128.
 
-  vert fwd:  C(i16)            -> dS1 = sum{U,UL,UR}(L - C)   (u16)
-  vert rev:  C                 -> dS2 = sum{D,DL,DR}(L - C)   (u16)
-  horiz fwd: C, dS1            -> dS1 += L_LR - C             (u16, aliased)
-  horiz rev: C, dS1[, dS2]     -> fused WTA on S = dS1 + dS2 + (nd-1)C + L_RL
-
-HBM traffic: 22 B/cell for 8 directions (vs 34 with f32 S), peak
-residency 6 B/cell (C + two u16 deltas), and the halved block bytes let
-each grid step carry 2x the rows/columns — the sweeps were latency-bound,
-not bandwidth-bound, so fatter steps matter as much as the traffic.
+Delta-volume width: each direction's DP term satisfies 0 <= L - C <= P2,
+so a 5-direction delta sum tops out at 5*11616 = 58080 < 65535 and rides
+ONE u16 volume end-to-end (MODE_SGBM parity path). 8 directions would
+overflow (92928), so the 8-path mode carries two 4-direction volumes
+(46464 each) and the WTA pass sums them.
 
 Kernels compute in f32 (exact: every value < 2^24, ~1.5x faster than
 int32 on the VPU); all stored values are integers, so the u16 round-trip
@@ -307,84 +310,31 @@ def _horizontal_kernel(c_ref, *rest, p1, p2, reverse, accumulate):
     carry[...] = cur
 
 
-def _horizontal_wta_kernel(
-    c_ref, *rest, p1, p2, uniqueness_ratio, min_disp, D, nds,
-):
-    """Final (right-to-left) horizontal sweep with winner-take-all fused.
-
-    Reconstructs the aggregated volume per column from the delta volumes
-    (S = sum(dS) + (nd-1)*C + L_RL) and reduces over d in-register: WTA
-    argmin, OpenCV uniqueness test, quadratic subpixel. The aggregated
-    volume never exists in HBM — the output block is (Ht, COLS, 8) f32
-    packing [disp, uniqueness-valid, best d, winning cost] in lanes 0..3
-    (8-lane blocks are the smallest legal TPU lane dim; best/minS are
-    exact in f32, both < 2^24).
-
-    Only the DP recurrence runs in the sequential 16-column loop; the
-    per-pixel S volumes are staged into a VMEM scratch and the ~10 WTA
-    reductions run ONCE on the whole (Ht, COLS, D) block. Interleaving
-    them into the column loop serialized the VPU behind tiny (Ht, D)
-    reductions — measured 51 GB/s vs the plain sweep's 120 (r3 profile)."""
-    ds_refs = rest[:nds]
-    out_ref = rest[nds]
-    carry = rest[nds + 1]
-    s_buf = rest[nds + 2]
-    j = pl.program_id(1)
+def _hT_kernel(c_ref, *rest, p1, p2, reverse, accumulate, WCOLS):
+    """One grid step = WCOLS columns x Ht rows of a horizontal sweep over
+    the TRANSPOSED volume (Wc, H, D): column k is the contiguous
+    leading-dim slice c_ref[k]. Emits (L - C) deltas, accumulated onto an
+    existing delta volume when `accumulate` (u16-exact: <= 5*P2 < 2^16)."""
+    if accumulate:
+        ds_in_ref, ds_out_ref, carry = rest
+    else:
+        ds_in_ref, (ds_out_ref, carry) = None, rest
+    j = pl.program_id(1)  # column-block index (fastest)
 
     @pl.when(j == 0)
     def _():
         carry[...] = jnp.zeros_like(carry)
 
     cur = carry[...]
-    ndirs_minus_1 = 4.0 if nds == 1 else 7.0
-    for k in range(COLS - 1, -1, -1):
-        c = c_ref[:, k, :].astype(jnp.float32)  # (Ht, D)
+    order = range(WCOLS - 1, -1, -1) if reverse else range(WCOLS)
+    for k in order:
+        c = c_ref[k].astype(jnp.float32)  # (Ht, D)
         cur = _sgm_update(cur, c, p1, p2)
-        s_f = cur + np.float32(ndirs_minus_1) * c
-        for ds in ds_refs:
-            s_f = s_f + _load_u16_f32(ds[:, k, :])
-        # dS volumes carry (L - C) sums for (ndirs - 1) directions; L_RL
-        # (cur) already includes its C — s_f adds back the missing C terms.
-        s_buf[:, k, :] = s_f
+        delta = cur - c
+        if accumulate:
+            delta = delta + _load_u16_f32(ds_in_ref[k])
+        ds_out_ref[k] = _store_u16(delta)
     carry[...] = cur
-
-    S = s_buf[...].astype(jnp.int32)  # (Ht, COLS, D)
-    d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
-    minS = jnp.min(S, axis=-1, keepdims=True)
-    big_i = np.int32(1 << 30)
-    best = jnp.min(
-        jnp.where(S == minS, d_iota, big_i), axis=-1, keepdims=True
-    )  # first argmin, matching jnp.argmin
-    # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
-    # S[d]*(100 - ratio) < minS*100 (int32 exact).
-    far = jnp.abs(d_iota - best) > 1
-    close = (S * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)) & far
-    bad = jnp.max(close.astype(jnp.int32), axis=-1, keepdims=True)
-    # Subpixel neighbors via one-hot masked reductions.
-    bm1 = jnp.maximum(best - 1, 0)
-    bp1 = jnp.minimum(best + 1, np.int32(D - 1))
-    Sm1 = jnp.sum(jnp.where(d_iota == bm1, S, 0), axis=-1, keepdims=True)
-    Sp1 = jnp.sum(jnp.where(d_iota == bp1, S, 0), axis=-1, keepdims=True)
-    denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
-    frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
-    interior = (best > 0) & (best < D - 1)
-    disp = (
-        best.astype(jnp.float32)
-        + jnp.where(interior, frac, 0.0)
-        + np.float32(min_disp)
-    )
-    f = jnp.float32
-    # Pack [disp, valid, best, minS] into 8 lanes WITHOUT a lane-axis
-    # concatenate: Mosaic cannot legalize concatenating 1-lane vectors
-    # ("result/input offset mismatch on non-concat dimension" on
-    # hardware; interpret mode accepted it). Lane-select instead:
-    # broadcast each (Ht, COLS, 1) field against an 8-lane iota and sum.
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, disp.shape[:2] + (8,), 2)
-    fields = (disp, (1 - bad).astype(f), best.astype(f), minS.astype(f))
-    packed = jnp.zeros(lane8.shape, f)
-    for li, v in enumerate(fields):
-        packed = packed + jnp.where(lane8 == li, v, 0.0)
-    out_ref[...] = packed
 
 
 def _row_tile(H: int, max_tile: int = 256) -> int:
@@ -486,38 +436,147 @@ def _sweep_horizontal(C, dS, p1, p2, reverse: bool, interpret: bool,
     return out[:H, :W] if (Wp != W or Hp != H) else out
 
 
-def _sweep_horizontal_wta(
-    C, dS_list, p1, p2, uniqueness_ratio, min_disp, interpret: bool
-):
-    """Right-to-left sweep + fused WTA over the delta volumes. Returns
-    (disp, valid, best, minS) full-size (H, W) maps."""
-    H, W, D = C.shape
-    C, Hp, Wp = _pad_hw(C)
-    dS_list = [_pad_hw(ds)[0] for ds in dS_list]
-    nb = Wp // COLS
-    # Smaller row tile than the plain sweep: the fused WTA reductions keep
-    # several (Ht, D) intermediates live per unrolled column.
-    Ht = _row_tile(Hp, min(128, _h_max_tile(D)))
+def _hT_tiles(H: int, D: int, WCOLS: int = 4, budget: int = 12_000_000) -> int:
+    """Rows per hT grid step: three double-buffered 16-bit (WCOLS, Ht, D)
+    streams (C in, ds in, ds out) plus ~9 live (Ht, D) f32 update
+    temporaries and the carry."""
+    Dp = max(D, 128)
+    ht = budget // (12 * WCOLS * Dp + 40 * Dp)
+    Hp = -(-H // 8) * 8
+    best = 8
+    for t in range(8, min(ht, Hp) + 1, 8):
+        if Hp % t == 0:
+            best = t
+    return best
+
+
+def _sweep_hT(CT, dST, p1, p2, reverse: bool, interpret: bool,
+              accumulate: bool = True, WCOLS: int = 4):
+    """Horizontal sweep over the transposed volume CT (Wc, H, D): emits
+    (L - C) deltas in the same layout, accumulated onto dST when given.
+
+    Column-block padding (right end) is zero-cost: a zero-cost run keeps
+    the carry at exactly zero, so entering the real image from the pad
+    (reverse sweep) is identical to a fresh path start, and forward-sweep
+    pad outputs are cropped."""
+    Wc, H, D = CT.shape
+    Ht = _hT_tiles(H, D, WCOLS)
+    Hp = -(-H // Ht) * Ht
+    Wp = -(-Wc // WCOLS) * WCOLS
+    if Hp != H or Wp != Wc:
+        CT = jnp.pad(CT, ((0, Wp - Wc), (0, Hp - H), (0, 0)))
+    acc = accumulate and dST is not None
+    if acc and (Hp != H or Wp != Wc):
+        dST = jnp.pad(dST, ((0, Wp - Wc), (0, Hp - H), (0, 0)))
     nh = Hp // Ht
-    index_map = lambda i, j: (i, nb - 1 - j, 0)
-    spec = pl.BlockSpec((Ht, COLS, D), index_map, memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((Ht, COLS, 8), index_map, memory_space=pltpu.VMEM)
+    nb = Wp // WCOLS
+    if reverse:
+        index_map = lambda i, j: (nb - 1 - j, i, 0)
+    else:
+        index_map = lambda i, j: (j, i, 0)
+    spec = pl.BlockSpec((WCOLS, Ht, D), index_map, memory_space=pltpu.VMEM)
+    kernel = functools.partial(_hT_kernel, p1=p1, p2=p2, reverse=reverse,
+                               accumulate=acc, WCOLS=WCOLS)
+    inputs = (CT, dST) if acc else (CT,)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nh, nb),
+        in_specs=[spec] * len(inputs),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(CT.shape, jnp.uint16),
+        scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32)],
+        input_output_aliases={1: 0} if acc else {},
+        interpret=interpret,
+    )(*inputs)
+    return out[:Wc, :H] if (Hp != H or Wp != Wc) else out
+
+
+def _butterfly_min(x: jnp.ndarray, D: int) -> jnp.ndarray:
+    """All-reduce min over the last axis: log2(D) lane rotates, result
+    REPLICATED across lanes — no reduce-then-broadcast round trip."""
+    s = 1
+    while s < D:
+        x = jnp.minimum(x, pltpu.roll(x, np.int32(s), x.ndim - 1))
+        s *= 2
+    return x
+
+
+def _butterfly_sum(x: jnp.ndarray, D: int) -> jnp.ndarray:
+    s = 1
+    while s < D:
+        x = x + pltpu.roll(x, np.int32(s), x.ndim - 1)
+        s *= 2
+    return x
+
+
+def _wta_kernel(c_ref, *rest, uniqueness_ratio, min_disp, D, nds):
+    """Elementwise WTA pass over one (BH, BW, D) block of the transposed
+    volume: S = nds_total*C + sum(ds); butterfly reductions; packs
+    [disp, uniqueness-valid, best, minS] into lanes 0..3 of an 8-lane
+    block. No DP carry — every block is independent, so the VPU pipelines
+    the reduce trees across the whole block (measured ~2x faster than the
+    same reductions serialized inside a sweep kernel)."""
+    ds_refs = rest[:nds]
+    out_ref = rest[nds]
+    nd = 5 if nds == 1 else 8
+    S = c_ref[...].astype(jnp.int32) * np.int32(nd)
+    for ds in ds_refs:
+        # u16 -> i32 via the i32 hop (Mosaic has no unsigned conversions).
+        S = S + ds[...].astype(jnp.int32)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
+    big_i = np.int32(1 << 30)
+    minS = _butterfly_min(S, D)  # replicated over lanes
+    best = _butterfly_min(jnp.where(S == minS, d_iota, big_i), D)
+    # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
+    # S[d]*(100 - ratio) < minS*100  <=>  the min over far lanes does.
+    far = jnp.abs(d_iota - best) > 1
+    mfar = _butterfly_min(jnp.where(far, S, big_i), D)
+    bad = mfar * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)
+    # Subpixel neighbors: exactly one lane matches -> sum == extract.
+    Sm1 = _butterfly_sum(jnp.where(d_iota == jnp.maximum(best - 1, 0), S, 0), D)
+    Sp1 = _butterfly_sum(
+        jnp.where(d_iota == jnp.minimum(best + 1, np.int32(D - 1)), S, 0), D)
+    denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
+    frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
+    interior = (best > 0) & (best < D - 1)
+    disp = (best.astype(jnp.float32) + jnp.where(interior, frac, 0.0)
+            + np.float32(min_disp))
+    f = jnp.float32
+    fields = (disp, 1.0 - bad.astype(f), best.astype(f), minS.astype(f))
+    packed = jnp.zeros(S.shape, f)
+    for li, v in enumerate(fields):
+        packed = packed + jnp.where(d_iota == li, v.astype(f), 0.0)
+    out_ref[...] = packed[..., :8]
+
+
+def _wta_volume(CT, dST_list, uniqueness_ratio, min_disp, interpret: bool):
+    """WTA over the transposed volume + delta volumes. Returns transposed
+    (Wc, H) maps (disp, valid, best, minS)."""
+    Wc, H, D = CT.shape
+    BH, BW = 8, 128
+    Wp = -(-Wc // BH) * BH
+    Hp = -(-H // BW) * BW
+    if Wp != Wc or Hp != H:
+        pads = ((0, Wp - Wc), (0, Hp - H), (0, 0))
+        CT = jnp.pad(CT, pads)
+        dST_list = [jnp.pad(d, pads) for d in dST_list]
+    spec = pl.BlockSpec((BH, BW, D), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BH, BW, 8), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _horizontal_wta_kernel, p1=p1, p2=p2,
-        uniqueness_ratio=uniqueness_ratio, min_disp=min_disp, D=D,
-        nds=len(dS_list),
+        _wta_kernel, uniqueness_ratio=uniqueness_ratio,
+        min_disp=min_disp, D=D, nds=len(dST_list),
     )
     packed = pl.pallas_call(
         kernel,
-        grid=(nh, nb),
-        in_specs=[spec] * (1 + len(dS_list)),
+        grid=(Wp // BH, Hp // BW),
+        in_specs=[spec] * (1 + len(dST_list)),
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp, 8), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32),
-                        pltpu.VMEM((Ht, COLS, D), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Wp, Hp, 8), jnp.float32),
         interpret=interpret,
-    )(C, *dS_list)
-    packed = packed[:H, :W]
+    )(CT, *dST_list)
+    packed = packed[:Wc, :H]
     return (
         packed[..., 0],
         packed[..., 1] != 0,
@@ -535,29 +594,40 @@ def sgm_wta_pallas(
     min_disp: int = 0,
     interpret: bool = False,
 ):
-    """All SGM sweeps with winner-take-all fused into the final one.
+    """All SGM sweeps + winner-take-all; the aggregated volume never
+    exists in HBM (only 16-bit delta volumes do).
 
-    Returns (disp f32, uniqueness-valid bool, best i32, minS i32) — the
-    aggregated volume never exists in HBM (only 16-bit delta volumes do).
-    Numerically identical to wta_disparity(sgm_aggregate_pallas(...)).
-    """
+    Returns (disp f32, valid bool, best i32, minS i32), numerically
+    identical to wta_disparity(sgm_aggregate_pallas(...)). Pipeline: the
+    vertical triples run on C (H-major); one XLA transpose re-lays C and
+    the delta volume(s) W-major for the horizontal sweeps and the
+    elementwise WTA pass (see module docstring for why)."""
     assert num_directions in (5, 8)
     if C.dtype not in (jnp.int16, jnp.int32):
         C = C.astype(jnp.int32)
     p1 = float(p1)
     p2 = float(p2)
-    dS1 = _vertical_sweep_auto(C, p1, p2, reverse=False, interpret=interpret)
-    dS_list = [None]
+    dsa = _vertical_sweep_auto(C, p1, p2, reverse=False, interpret=interpret)
+    dsb = None
     if num_directions == 8:
-        dS_list.append(_vertical_sweep_auto(C, p1, p2, reverse=True,
-                                            interpret=interpret))
-    # L->R deltas accumulate onto the forward vertical volume (u16-exact:
-    # 4 directions <= 4*P2 = 46464 < 2^16).
-    dS_list[0] = _sweep_horizontal(C, dS1, p1, p2, reverse=False,
-                                   interpret=interpret)
-    return _sweep_horizontal_wta(
-        C, dS_list, p1, p2, uniqueness_ratio, min_disp, interpret=interpret
-    )
+        dsb = _vertical_sweep_auto(C, p1, p2, reverse=True, interpret=interpret)
+    CT = jnp.swapaxes(C, 0, 1)
+    dsaT = jnp.swapaxes(dsa, 0, 1)
+    # L deltas accumulate onto the forward-vertical volume (u16-exact:
+    # 4 directions <= 46464); R onto the same volume in 5-dir mode
+    # (5*P2 = 58080 < 2^16) or the reversed-vertical one in 8-dir mode.
+    dsaT = _sweep_hT(CT, dsaT, p1, p2, reverse=False, interpret=interpret)
+    ds_list = [dsaT]
+    if num_directions == 8:
+        dsbT = jnp.swapaxes(dsb, 0, 1)
+        ds_list.append(_sweep_hT(CT, dsbT, p1, p2, reverse=True,
+                                 interpret=interpret))
+    else:
+        ds_list[0] = _sweep_hT(CT, ds_list[0], p1, p2, reverse=True,
+                               interpret=interpret)
+    disp, valid, best, minS = _wta_volume(
+        CT, ds_list, uniqueness_ratio, min_disp, interpret=interpret)
+    return disp.T, valid.T, best.T, minS.T
 
 
 def _vertical_sweep_auto(C, p1, p2, reverse, interpret):
