@@ -16,12 +16,15 @@ Configs (BASELINE.json:6-12):
   4. sparse learned match + batched triangulation d1-d3  [sparse_match_triangulate]
   5. 8-pair 4K batch SGBM + cloud emit, prefetch pipeline [streaming_8pair_4k]
 
-Device-time convention: jitted steps end in an on-device scalar reduction
-that is fetched per iteration — through the dev environment's remote-TPU
-relay, `block_until_ready` alone does not force execution, and fetching
-full 4K arrays costs seconds of relay (not production) transfer time
-(parallel/streaming.py note). Production deployments stream outputs over
-PCIe; the relay fetch is excluded from the timed region by design.
+Device-time convention (r3): each step is timed as a CHAIN of dependent
+iterations inside one jit (utils/timing.py), fetching one scalar — the
+round-2 async-dispatch loop still paid one serial ~28 ms relay round-trip
+per fetched scalar, flooring every number at the relay latency. Through
+the dev relay `block_until_ready` alone does not force execution, and
+fetching full 4K arrays costs seconds of relay (not production) transfer
+time. Production deployments stream outputs over PCIe; the relay RTT is
+excluded by design. Config 5 (streaming) stays wall-clock: overlapping
+host decode with device compute is the thing it measures.
 """
 
 from __future__ import annotations
@@ -54,27 +57,12 @@ def _setup_jax():
 
 
 def _timed_device_loop(step, args, iters: int) -> float:
-    """Per-iteration device time of `step(*args) -> scalar`.
+    """Per-iteration device time of `step(*args)` via the chained harness
+    (utils/timing.py): `iters` dependent executions inside one jit, one
+    scalar fetched, measured relay RTT subtracted."""
+    from stereo_reconstruction_cv_tpu.utils.timing import timed_chain
 
-    Dispatches `iters` independent executions asynchronously and blocks on
-    all results once at the end. The remote-TPU relay here costs ~25 ms
-    per host round-trip — per-call scalar fetches would charge that to
-    every frame, which production (direct PCIe-attached host) does not
-    pay; async dispatch pipelines it away, and the measured number matches
-    an on-device unrolled chain of dependent steps to ~5% (verified on
-    v5e: 35.0 vs 37.0 ms/frame for config 2). Each step still ends in an
-    on-device reduction whose value is fetched, forcing real execution
-    (block_until_ready alone does not, through this relay)."""
-    import jax
-
-    fn = jax.jit(step)
-    float(np.asarray(fn(*args)))  # compile + warm
-    float(np.asarray(fn(*args)))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    for o in outs:
-        float(np.asarray(o))
-    return (time.perf_counter() - t0) / iters
+    return timed_chain(step, args, iters=iters)
 
 
 def _emit(obj):
@@ -226,7 +214,7 @@ def bench_config2(iters=5):
 # Config 3: calibrated rectify + SGBM + 3D reprojection, 4K x 256 disparities
 # ---------------------------------------------------------------------------
 
-def bench_config3(iters=2):
+def bench_config3(iters=3):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -238,48 +226,38 @@ def bench_config3(iters=2):
     imL, imR = _load_pair("d1")
     H, W = imL.shape
     K, geo = _rectified_geometry((W, H), 256)
-    cfg = SGBMConfig(num_disparities=256, num_directions=8)
+    # 5 directions == cv2's default MODE_SGBM, the mode the reference
+    # notebook actually runs (main.ipynb cell 10 passes no mode flag);
+    # the CPU baseline below uses the same default.
+    cfg = SGBMConfig(num_disparities=256, num_directions=5)
     core = cfg.with_(speckle_window_size=0)
     Kj = jnp.asarray(K, jnp.float32)
     Q = jnp.asarray(geo.Q, jnp.float32)
-
-    rect = jax.jit(
-        lambda a, b: (
-            RC.rectify_remap(a, Kj, None, jnp.asarray(geo.R1, jnp.float32),
-                             jnp.asarray(geo.P1, jnp.float32)),
-            RC.rectify_remap(b, Kj, None, jnp.asarray(geo.R2, jnp.float32),
-                             jnp.asarray(geo.P2, jnp.float32)),
-        )
-    )
-    sgbm = jax.jit(lambda a, b: DP.sgbm_disparity_auto(a, b, core))
-    finish = jax.jit(
-        lambda d, v: jnp.sum(
-            jnp.where(
-                DP.speckle_filter(d, v, cfg.speckle_window_size,
-                                  float(cfg.speckle_range))[..., None],
-                G.reproject_image_to_3d(d, Q), 0.0,
-            )
-        )
-    )
+    R1 = jnp.asarray(geo.R1, jnp.float32)
+    P1 = jnp.asarray(geo.P1, jnp.float32)
+    R2 = jnp.asarray(geo.R2, jnp.float32)
+    P2 = jnp.asarray(geo.P2, jnp.float32)
 
     def e2e(l, r):
-        rl, rr = rect(l, r)
-        d, v = sgbm(rl.astype(jnp.uint8), rr.astype(jnp.uint8))
-        return finish(d, v)
+        rl = RC.rectify_remap(l, Kj, None, R1, P1).astype(jnp.uint8)
+        rr = RC.rectify_remap(r, Kj, None, R2, P2).astype(jnp.uint8)
+        d, v = DP.sgbm_disparity_auto(rl, rr, core)
+        keep = DP.speckle_filter(d, v, cfg.speckle_window_size,
+                                 float(cfg.speckle_range))
+        return jnp.sum(
+            jnp.where(keep[..., None], G.reproject_image_to_3d(d, Q), 0.0)
+        )
 
     l, r = jnp.asarray(imL), jnp.asarray(imR)
-    float(np.asarray(e2e(l, r)))  # compile
-    float(np.asarray(e2e(l, r)))
-    t0 = time.perf_counter()
-    outs = [e2e(l, r) for _ in range(iters)]
-    for o in outs:
-        float(np.asarray(o))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _timed_device_loop(e2e, (l, r), iters)
     mpix = H * W / 1e6
 
     # Primary-metric companion: raw 4K SGBM MPix/s at 128 disparities
     # (BASELINE.json metric line: "disparity MPix/s at 720p/4K (128 disp)").
-    cfg128 = cfg.with_(num_disparities=128, speckle_window_size=0)
+    # Same 8-path mode as the 720p/128 headline so the two MPix/s numbers
+    # are comparable (BASELINE config 2 is explicitly "full 8-path").
+    cfg128 = cfg.with_(num_disparities=128, num_directions=8,
+                       speckle_window_size=0)
     dt128 = _timed_device_loop(
         lambda a, b: jnp.sum(DP.sgbm_disparity_auto(a, b, cfg128)[0]), (l, r), 3
     )
@@ -299,7 +277,6 @@ def bench_config3(iters=2):
             minDisparity=0, numDisparities=256, blockSize=11,
             P1=p1, P2=4 * p1, disp12MaxDiff=1, preFilterCap=63,
             uniquenessRatio=10, speckleWindowSize=100, speckleRange=32,
-            mode=cv2.STEREO_SGBM_MODE_HH,
         )
         t0 = time.perf_counter()
         rl = cv2.remap(imL, m1[0], m1[1], cv2.INTER_LINEAR)

