@@ -513,23 +513,24 @@ def speckle_filter(
         cond, body, (one_round(lab0), jnp.bool_(True), jnp.int32(1))
     )
     if use_pallas:
-        region = _component_sizes_sort(lab)
-    else:
-        sizes = jnp.zeros(H * W + 1, jnp.int32).at[lab.reshape(-1)].add(1)
-        region = sizes[lab]
-    keep = valid & (region > max_speckle_size)
-    return keep
+        keep_bit = _component_keep_sort(lab, max_speckle_size)
+        return valid & keep_bit
+    sizes = jnp.zeros(H * W + 1, jnp.int32).at[lab.reshape(-1)].add(1)
+    return valid & (sizes[lab] > max_speckle_size)
 
 
-def _component_sizes_sort(lab: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel component size from converged labels, scatter-free.
+def _component_keep_sort(lab: jnp.ndarray, max_speckle_size: int) -> jnp.ndarray:
+    """Per-pixel (component size > max_speckle_size) from converged
+    labels, scatter-free.
 
     The (H*W)-bin scatter-add histogram + table gather costs ~154 ms at
-    4K on v5e (TPU scatter/gather are serial-ish); two key-payload sorts
-    plus cummax/cummin boundary scans compute the same counts in ~48 ms:
-    sort by label, segment length = (next segment start) - (own segment
-    start), then sort back by original index. Exact integer arithmetic —
-    bit-identical to the histogram."""
+    4K on v5e (TPU scatter/gather are serial-ish). Instead: sort by
+    label (payload: original index), segment length = (next segment
+    start) - (own segment start) via cummax/cummin boundary scans, then
+    UN-sort just the keep bit packed into a single key (idx*2 + bit —
+    a one-operand sort runs ~35% faster than the key+payload sort the
+    full counts would need; the filter only ever thresholds the count).
+    Exact integer arithmetic — bit-identical to the histogram path."""
     H, W = lab.shape
     N = H * W
     flat = lab.reshape(-1)
@@ -541,9 +542,9 @@ def _component_sizes_sort(lab: jnp.ndarray) -> jnp.ndarray:
     start_next = jnp.concatenate([start[1:], jnp.ones(1, jnp.bool_)])
     nxtpos = jnp.where(start_next, pos + 1, N)
     right = jax.lax.cummin(nxtpos[::-1])[::-1]
-    cnt = right - left
-    _, cnt_orig = jax.lax.sort((si, cnt), num_keys=1)
-    return cnt_orig.reshape(H, W)
+    keep_bit = (right - left > max_speckle_size).astype(jnp.int32)
+    packed = jax.lax.sort(si * 2 + keep_bit)
+    return (packed & 1).astype(jnp.bool_).reshape(H, W)
 
 
 # ---------------------------------------------------------------------------
@@ -662,6 +663,131 @@ def sgbm_disparity_auto(
     if _fits_whole_frame(H, W, cfg):
         return sgbm_disparity(left, right, cfg)
     return sgbm_disparity_tiled(left, right, cfg, tile_rows=tile_rows)
+
+
+# ---------------------------------------------------------------------------
+# Coarse-to-fine fast path
+# ---------------------------------------------------------------------------
+
+def _box2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x box downsample of a (H, W) uint8 image (OpenCV INTER_AREA
+    semantics for factor 2: mean of each 2x2 block, rounded)."""
+    H, W = img.shape
+    a = img[: H - H % 2, : W - W % 2].astype(jnp.int32)
+    s = a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+    return ((s + 2) >> 2).astype(jnp.uint8)
+
+
+def _shift_plane(a: jnp.ndarray, s: int) -> jnp.ndarray:
+    """a[y, x - s] with edge replication (static shift)."""
+    if s == 0:
+        return a
+    if s > 0:
+        return jnp.concatenate(
+            [jnp.repeat(a[:, :1], s, axis=1), a[:, :-s]], axis=1)
+    return jnp.concatenate(
+        [a[:, -s:], jnp.repeat(a[:, -1:], -s, axis=1)], axis=1)
+
+
+def _warp_by_disp(planes: Sequence[jnp.ndarray], d0: jnp.ndarray,
+                  num_disp: int) -> list:
+    """planes[k][y, x - d0[y, x]] for integer d0 in [0, num_disp), as a
+    static shift + select chain — XLA fuses the whole chain into one
+    elementwise pass (TPU gathers cost ~60 ms per 4K plane; this is ~2 ms
+    for four planes at 128 shifts)."""
+    outs = [jnp.zeros_like(p) for p in planes]
+    for s in range(num_disp):
+        hit = d0 == s
+        outs = [jnp.where(hit, _shift_plane(p, s), o)
+                for p, o in zip(planes, outs)]
+    return outs
+
+
+def sgbm_disparity_fast(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: SGBMConfig,
+    refine_radius: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coarse-to-fine SGBM: full-range SGM at half resolution, then a
+    full-resolution refinement over +-refine_radius disparities around
+    the upsampled coarse map.
+
+    The production fast path (libSGM-style multi-scale): the coarse level
+    runs the exact pipeline on a 2x box-downsampled pair with D/2
+    disparities (1/8 the cells); the fine level warps the right-image
+    cost planes by the integer coarse disparity (static shift+select
+    chain, no gathers) and re-scores the 2*r+1 candidate disparities with
+    the exact BT + 11x11 block cost, WTA + quadratic subpixel. Validity
+    (uniqueness + L-R + speckle) comes from the coarse level, upsampled;
+    the speckle filter reruns at full resolution on the refined map.
+
+    Accuracy is gate-tested against full-range cv2.StereoSGBM on the
+    bundled real pairs (tests/test_disparity.py::test_fast_mode_gate):
+    the refined map stays within 1 px of cv2 on >= 95% of the pixels both
+    declare valid, the same bar BASELINE.json sets for the exact path."""
+    H, W = left.shape
+    D = cfg.num_disparities
+    r = refine_radius
+    # ---- coarse: exact pipeline at half resolution, half range ----
+    cfg_h = cfg.with_(
+        num_disparities=max(16, D // 2),
+        min_disparity=cfg.min_disparity // 2,
+        speckle_window_size=0,
+    )
+    lh, rh = _box2(left), _box2(right)
+    d_h, v_h = sgbm_disparity(lh, rh, cfg_h)
+    # ---- upsample: nearest x2, disparities doubled ----
+    d0f = jnp.repeat(jnp.repeat(d_h * 2.0, 2, axis=0), 2, axis=1)[:H, :W]
+    v0 = jnp.repeat(jnp.repeat(v_h, 2, axis=0), 2, axis=1)[:H, :W]
+    Hh2, Wh2 = 2 * d_h.shape[0], 2 * d_h.shape[1]
+    if Hh2 < H or Wh2 < W:  # odd full-res edge rows/cols
+        d0f = jnp.pad(d0f, ((0, H - min(H, Hh2)), (0, W - min(W, Wh2))),
+                      mode="edge")
+        v0 = jnp.pad(v0, ((0, H - min(H, Hh2)), (0, W - min(W, Wh2))),
+                     mode="edge")
+    d0 = jnp.clip(jnp.round(d0f), cfg.min_disparity, cfg.min_disparity + D - 1
+                  ).astype(jnp.int32)
+    # ---- fine: re-score d0 + k, k in [-r, r], exact BT + block cost ----
+    cap = cfg.pre_filter_cap
+    sl = xsobel_clip(left, cap)
+    sr = xsobel_clip(right, cap)
+    rawl, rawr = left.astype(jnp.int32), right.astype(jnp.int32)
+    wsr, wraw = _warp_by_disp((sr, rawr), d0, cfg.min_disparity + D)
+
+    def bt_pair(a, b):
+        """Symmetric BT between aligned planes at integer alignment; the
+        half-pixel range terms use the warped plane's own neighbors."""
+        blo, bhi = _halfpixel_range(b)
+        alo, ahi = _halfpixel_range(a)
+        c0 = jnp.maximum(jnp.maximum(a - bhi, blo - a), 0)
+        c1 = jnp.maximum(jnp.maximum(b - ahi, alo - b), 0)
+        return jnp.minimum(c0, c1)
+
+    costs = []
+    for k in range(-r, r + 1):
+        cs = bt_pair(sl, _shift_plane(wsr, k))
+        craw = bt_pair(rawl, _shift_plane(wraw, k))
+        costs.append(cs + (craw >> 2))
+    Ck = jnp.stack(costs, axis=-1)  # (H, W, 2r+1) int32
+    Ck = block_sum(Ck, cfg.block_size)
+    best_k = jnp.argmin(Ck, axis=-1)
+    minC = jnp.min(Ck, axis=-1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, Ck.shape, 2)
+    km1 = jnp.clip(best_k - 1, 0, 2 * r)
+    kp1 = jnp.clip(best_k + 1, 0, 2 * r)
+    Cm1 = jnp.sum(jnp.where(kidx == km1[..., None], Ck, 0), axis=-1)
+    Cp1 = jnp.sum(jnp.where(kidx == kp1[..., None], Ck, 0), axis=-1)
+    denom = jnp.maximum(Cm1 + Cp1 - 2 * minC, 1).astype(jnp.float32)
+    frac = (Cm1 - Cp1).astype(jnp.float32) / (2.0 * denom)
+    interior = (best_k > 0) & (best_k < 2 * r)
+    disp = (d0 + best_k - r).astype(jnp.float32) + jnp.where(interior, frac, 0.0)
+    lo = float(cfg.min_disparity)
+    disp = jnp.clip(disp, lo, lo + D - 1)
+    valid = v0
+    if cfg.speckle_window_size > 0:
+        valid = _speckle(disp, valid, cfg)
+    return disp, valid
 
 
 def sgbm_disparity_tiled(

@@ -45,9 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WT = 256      # output columns per strip (one grid step)
-SUBX = WT + 16  # sublanes per cost row (WT + 10 used, padded to 16-multiple)
-BX = 256      # sublane block width of the transposed planes
+WT = 256      # output columns per strip (one grid step; == BX, see side())
 LANES = 128   # vreg lane width; D is processed in ceil(D/128) lane groups
 
 
@@ -67,7 +65,7 @@ def _shift_tree(c: jnp.ndarray) -> jnp.ndarray:
     return T
 
 
-def _producer_kernel(*refs, D, nbx_l, nbx_r, Wc, R):
+def _producer_kernel(*refs, D, nbx_l, nbx_r, Wc, R, WT, SUBX):
     """Grid (nj, (H+10)/R): step (j, s) costs padded rows s*R..s*R+R-1 of
     strip j, emitting block-summed rows into the same slots of the
     (H+10)-row output (row y holds the sum over padded rows y-10..y; the
@@ -174,6 +172,8 @@ def cost_volume_pallas(
     num_disp: int,
     min_disp: int = 0,
     interpret: bool = False,
+    wt: int | None = None,
+    rows: int | None = None,
 ) -> jnp.ndarray:
     """Fused BT cost + 11x11 block sum over the cropped region.
 
@@ -184,11 +184,16 @@ def cost_volume_pallas(
     """
     H, W = left_sobel.shape
     D = num_disp
+    # 512-col strips amortize the per-row shift trees better once D > 128
+    # (measured 67 -> 61 ms at 4K x 256; no effect at D <= 128).
+    WT_ = wt or (WT if D <= 128 else 512)
+    SUBX = WT_ + 16
+    BX = WT_
     x0 = min_disp + D
     Wc = W - x0
     assert Wc >= 1, (W, x0)
-    nj = -(-Wc // WT)
-    Wc_p = nj * WT
+    nj = -(-Wc // WT_)
+    Wc_p = nj * WT_
 
     # Transposed-plane column windows per strip (a = j*WT, cropped coords;
     # sublane x_s in [0, SUBX) covers output cols a-5 .. a+WT+10-5):
@@ -211,7 +216,7 @@ def cost_volume_pallas(
 
     # Rows per grid step (amortizes fixed per-step overhead); the padded
     # row count must divide evenly. Lane width of the row blocks == R.
-    R = 8 if D <= 128 else 4
+    R = rows or 8
     Hp = -(-(H + 10) // 128) * 128  # 128-lane panels (R divides 128)
 
     def prep(plane, Lp, bf0, nbx):
@@ -245,11 +250,12 @@ def cost_volume_pallas(
         + [col_spec(bf0_r, k) for k in range(nbx_r)]
     )
     out_spec = pl.BlockSpec(
-        (R, WT, D), lambda j, s: (s, j, 0), memory_space=pltpu.VMEM
+        (R, WT_, D), lambda j, s: (s, j, 0), memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(
         _producer_kernel, D=D, nbx_l=nbx_l, nbx_r=nbx_r, Wc=Wc, R=R,
+        WT=WT_, SUBX=SUBX,
     )
     inputs = [sL] * nbx_l + [sR] * nbx_r + [rL] * nbx_l + [rR] * nbx_r
     out = pl.pallas_call(
@@ -259,8 +265,8 @@ def cost_volume_pallas(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Hp, Wc_p, D), jnp.int16),
         scratch_shapes=[
-            pltpu.VMEM((11, WT, D), jnp.int16),
-            pltpu.VMEM((WT, D), jnp.int32),
+            pltpu.VMEM((11, WT_, D), jnp.int16),
+            pltpu.VMEM((WT_, D), jnp.int32),
         ],
         interpret=interpret,
     )(*inputs)

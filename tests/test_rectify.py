@@ -136,3 +136,28 @@ class TestPackedRemap:
         # uint16 input routes to the generic path with identical values.
         gen = np.asarray(RC.remap_bilinear(jnp.asarray(img).astype(jnp.uint16), m))
         np.testing.assert_array_equal(fast.astype(np.int32), gen.astype(np.int32))
+
+
+class TestAffineResample:
+    def test_affine_path_matches_gather(self, rng):
+        """Identity-R rectification takes the banded-matmul MXU path
+        (_affine_resample); it must agree with the map+gather path to one
+        u8 level everywhere (only f32 summation order differs)."""
+        img = jnp.asarray(rng.integers(0, 255, size=(120, 160)).astype(np.uint8))
+        K = np.array([[140.0, 0, 83.0], [0, 150.0, 61.0], [0, 0, 1.0]])
+        P = np.array([[120.0, 0, 80.0, 0], [0, 131.0, 59.0, 0], [0, 0, 1.0, 0]])
+        R = np.eye(3)
+        params = RC._affine_params(
+            jnp.asarray(K), None, jnp.asarray(R), jnp.asarray(P), (160, 120))
+        assert params is not None
+        fast = np.asarray(RC.rectify_remap(
+            img, jnp.asarray(K), None, jnp.asarray(R), jnp.asarray(P)))
+        m = RC.rectify_map(jnp.asarray(K), None, jnp.asarray(R),
+                           jnp.asarray(P), (160, 120))
+        ref = np.asarray(RC.remap_bilinear(img, m))
+        assert np.abs(fast.astype(int) - ref.astype(int)).max() <= 1
+        # a rotated R must NOT take the affine path
+        Rr = np.array([[0.999, -0.04, 0.0], [0.04, 0.999, 0.0], [0, 0, 1.0]])
+        assert RC._affine_params(
+            jnp.asarray(K), None, jnp.asarray(Rr), jnp.asarray(P), (160, 120)
+        ) is None

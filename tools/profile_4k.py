@@ -1,10 +1,11 @@
 """Per-stage device-time breakdown of the 4K e2e frame (VERDICT r2 item 1).
 
-Times every stage of BASELINE config 3 (calibrated rectify + SGBM(256) +
-reproject on a 4K pair) in isolation with the async-dispatch loop from
-benchmarks.py, and writes docs/PROFILE_4K.json. Run on the real TPU:
+Times every stage of BASELINE config 3 (calibrated rectify + SGBM +
+reproject on a 4K pair) with the chained harness (utils/timing.py — the
+round-2 async loop floored every number at the ~28 ms relay RTT), and
+writes docs/PROFILE_4K.json. Run on the real TPU:
 
-    python tools/profile_4k.py [--disp 256] [--iters 5]
+    python tools/profile_4k.py [--disp 256] [--dirs 5] [--iters 8]
 """
 
 from __future__ import annotations
@@ -13,42 +14,20 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 from stereo_reconstruction_cv_tpu import benchmarks as B
-
-
-def timed(step, args, iters):
-    """Async-dispatch timing with all outputs reduced to ONE scalar on
-    device: keeping `iters` full-size outputs in flight OOMs HBM when a
-    stage emits multi-GB volumes (4K x 256 cost volume is 4 GB), and the
-    reduction (~5 ms of extra HBM read at 4 GB) also forces execution
-    through the relay, where block_until_ready alone does not."""
-    import jax
-    import jax.numpy as jnp
-
-    def reduced(*a):
-        leaves = jax.tree.leaves(step(*a))
-        return sum(jnp.sum(x, dtype=jnp.float32) for x in leaves)
-
-    fn = jax.jit(reduced)
-    float(np.asarray(fn(*args)))
-    float(np.asarray(fn(*args)))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    for o in outs:
-        float(np.asarray(o))
-    return (time.perf_counter() - t0) / iters
+from stereo_reconstruction_cv_tpu.utils.timing import rtt, timed_chain
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--disp", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--dirs", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
     jax = B._setup_jax()
@@ -58,20 +37,23 @@ def main():
     from stereo_reconstruction_cv_tpu.ops import disparity as DP
     from stereo_reconstruction_cv_tpu.ops import geometry as G
     from stereo_reconstruction_cv_tpu.ops import rectify as RC
-    from stereo_reconstruction_cv_tpu.ops.pallas.cost_pallas import cost_volume_pallas
     from stereo_reconstruction_cv_tpu.ops.pallas import sgm_pallas as SP
+    from stereo_reconstruction_cv_tpu.ops.pallas.cost_pallas import cost_volume_pallas
+    from stereo_reconstruction_cv_tpu.ops.pallas.lr_pallas import lr_check_maps_pallas
 
     imL, imR = B._load_pair("d1")
     H, W = imL.shape
     D = args.disp
     K, geo = B._rectified_geometry((W, H), D)
-    cfg = SGBMConfig(num_disparities=D, num_directions=8, speckle_window_size=0)
+    cfg = SGBMConfig(num_disparities=D, num_directions=args.dirs,
+                     speckle_window_size=0)
     Kj = jnp.asarray(K, jnp.float32)
     Q = jnp.asarray(geo.Q, jnp.float32)
     l, r = jnp.asarray(imL), jnp.asarray(imR)
     it = args.iters
 
-    out = {"shape": [H, W], "num_disp": D, "iters": it}
+    out = {"shape": [H, W], "num_disp": D, "num_dirs": args.dirs, "iters": it,
+           "rtt_ms": round(rtt() * 1e3, 2), "timing": "chained (utils/timing.py)"}
 
     _path = os.path.join(os.path.dirname(__file__), "..", "docs", "PROFILE_4K.json")
 
@@ -82,12 +64,14 @@ def main():
             json.dump(rounded, f, indent=1)
         print(json.dumps(rounded, indent=1), flush=True)
 
+    ms = lambda step, a, n=it: 1e3 * timed_chain(step, a, iters=n)
+
     # --- rectify ---
     R1 = jnp.asarray(geo.R1, jnp.float32)
     P1 = jnp.asarray(geo.P1, jnp.float32)
-    out["rectify_remap_x2_ms"] = 1e3 * timed(
+    out["rectify_remap_x2_ms"] = ms(
         lambda a, b: (RC.rectify_remap(a, Kj, None, R1, P1),
-                      RC.rectify_remap(b, Kj, None, R1, P1)), (l, r), it)
+                      RC.rectify_remap(b, Kj, None, R1, P1)), (l, r))
     flush()
 
     # --- prefilter + cost producer ---
@@ -102,97 +86,141 @@ def main():
             ps.append(p.at[:, 0].set(capv).at[:, -1].set(capv))
         return ps
 
-    out["prefilter_ms"] = 1e3 * timed(lambda a, b: planes(a, b), (l, r), it)
+    out["prefilter_ms"] = ms(lambda a, b: planes(a, b), (l, r))
     flush()
 
     def cost(a, b):
         sl, sr, rl, rr = planes(a, b)
         return cost_volume_pallas(sl, sr, rl, rr, D, 0)
 
-    out["cost_producer_ms"] = 1e3 * timed(cost, (l, r), it) - out["prefilter_ms"]
+    out["cost_producer_ms"] = ms(cost, (l, r)) - out["prefilter_ms"]
     flush()
 
+    # Maps first, from a fresh (l, r) jit, BEFORE materializing C: the
+    # cost volume must stay an internal buffer XLA frees after its last
+    # use — held externally alongside the maps program's own 12.75 GB
+    # peak, the 5-dir 4K x 256 case exceeds HBM.
+    p1f, p2f = float(cfg.p1), float(cfg.p2)
+    disp, valid, best, minS = jax.jit(
+        lambda a, b: SP.sgm_wta_pallas(cost(a, b), cfg.p1, cfg.p2,
+                                       args.dirs, 10, 0))(l, r)
+    jax.block_until_ready((disp, valid, best, minS))
     C = jax.jit(cost)(l, r)
     C.block_until_ready()
-    p1f, p2f = float(cfg.p1), float(cfg.p2)
 
-    # --- individual sweeps ---
+    # --- individual sweeps (v4 structure) ---
     Hc, Wc, _ = C.shape
-    full_ok = SP._lane_elems(Wc, D) <= 300_000
-    vsweep = SP._sweep_vertical if full_ok else SP._sweep_vertical_tiled
-    out["vertical_variant"] = "full" if full_ok else "tiled"
-    # HBM residency note: C and each delta volume are ~4 GB at 4K x 256 —
-    # materialize at most three at a time (C + dSa + dS2 = 12 GB peak on a
-    # 16 GB v5e) and drop dS1 before computing dS2.
-    out["vert_fwd_ms"] = 1e3 * timed(
-        lambda c: vsweep(c, p1f, p2f, False, False), (C,), it)
+    # HBM residency note: C / delta volumes are 4.25 GB each at 4K x 256 —
+    # hold at most three (12.75 GB on a 16 GB v5e) at any point.
+    out["vert_fwd_ms"] = ms(
+        lambda c: SP._vertical_sweep_auto(c, p1f, p2f, False, False), (C,))
     flush()
-    out["vert_rev_ms"] = 1e3 * timed(
-        lambda c: vsweep(c, p1f, p2f, True, False), (C,), it)
+    out["transpose_C_ms"] = ms(lambda c: jnp.swapaxes(c, 0, 1), (C,))
     flush()
-    dS1 = jax.jit(lambda c: vsweep(c, p1f, p2f, False, False))(C)
-    dS1.block_until_ready()
-    out["horiz_fwd_ms"] = 1e3 * timed(
-        lambda c, s: SP._sweep_horizontal(c, s, p1f, p2f, False, False), (C, dS1), it)
-    flush()
-    dSa = jax.jit(
-        lambda c, s: SP._sweep_horizontal(c, s, p1f, p2f, False, False))(C, dS1)
-    dSa.block_until_ready()
-    del dS1
-    dS2 = jax.jit(lambda c: vsweep(c, p1f, p2f, True, False))(C)
-    dS2.block_until_ready()
-    out["horiz_wta_ms"] = 1e3 * timed(
-        lambda c, a, b: SP._sweep_horizontal_wta(c, [a, b], p1f, p2f, 10, 0, False),
-        (C, dSa, dS2), it)
-    flush()
-    del dSa, dS2
+    dsa = jax.jit(lambda c: SP._vertical_sweep_auto(c, p1f, p2f, False, False))(C)
+    dsa.block_until_ready()
+    CT = jnp.swapaxes(C, 0, 1)
+    CT.block_until_ready()
+    del C
+    dsaT = jnp.swapaxes(dsa, 0, 1)
+    dsaT.block_until_ready()
+    del dsa
+    # Custom chains for the volume-sized steps: timed_chain's eps trick
+    # copies its first argument per iteration (+4.25 GB transient at
+    # 4K x 256 -> HBM OOM). The accumulate sweeps chain NATURALLY — each
+    # iteration's output delta volume is the next one's ds input — and
+    # the WTA chain perturbs the small packed output back into nothing.
+    import time as _time
 
-    # --- full SGBM pieces ---
-    disp, valid, best, minS = jax.jit(
-        lambda c: SP.sgm_wta_pallas(c, cfg.p1, cfg.p2, 8, 10, 0))(C)
-    jax.block_until_ready((disp, valid, best, minS))
-    out["lr_check_xla_ms"] = 1e3 * timed(
-        lambda b_, m_, d_: DP.lr_check_maps(b_, m_, d_, D, 0, 1),
-        (best, minS, disp), it)
-    flush()
-    from stereo_reconstruction_cv_tpu.ops.pallas.lr_pallas import (
-        lr_check_maps_pallas,
-    )
+    def ms_chain_ht(reverse):
+        def chain(ct, s0):
+            def body(_, s):
+                return SP._sweep_hT(ct, s, p1f, p2f, reverse, False)
+            return jnp.sum(jax.lax.fori_loop(0, it, body, s0),
+                           dtype=jnp.float32)
+        fn = jax.jit(chain)
+        float(np.asarray(fn(CT, dsaT)))
+        best_t = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            float(np.asarray(fn(CT, dsaT)))
+            best_t = min(best_t, _time.perf_counter() - t0)
+        return 1e3 * max(best_t - rtt(), 0.0) / it
 
-    out["lr_check_pallas_ms"] = 1e3 * timed(
+    out["hT_L_acc_ms"] = ms_chain_ht(False)
+    flush()
+    out["hT_R_acc_ms"] = ms_chain_ht(True)
+    flush()
+
+    # WTA chained behind an hT sweep per iteration (the sweep's output is
+    # the WTA's input — a true dependency with no extra volume copies);
+    # the known hT time is subtracted.
+    def wta_chain(ct, s0):
+        def body(_, carry):
+            s, acc = carry
+            s = SP._sweep_hT(ct, s, p1f, p2f, False, False)
+            outs = SP._wta_volume(ct, [s], 10, 0, False)
+            return s, acc + sum(jnp.sum(x, dtype=jnp.float32) for x in outs)
+        return jax.lax.fori_loop(0, it, body, (s0, jnp.float32(0.0)))[1]
+
+    try:
+        fnw = jax.jit(wta_chain)
+        float(np.asarray(fnw(CT, dsaT)))
+        best_t = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            float(np.asarray(fnw(CT, dsaT)))
+            best_t = min(best_t, _time.perf_counter() - t0)
+        out["wta_volume_ms"] = (1e3 * max(best_t - rtt(), 0.0) / it
+                                - out["hT_L_acc_ms"])
+    except Exception as e:  # XLA keeps loop-carry copies alive; at 256 the
+        # chained pair exceeds HBM — derive WTA from sgbm_total instead.
+        out["wta_volume_ms"] = None
+        out["wta_volume_note"] = f"chain OOM ({type(e).__name__}); derive from sgbm_total"
+    flush()
+    del CT, dsaT
+
+    # --- maps stages ---
+    out["lr_check_pallas_ms"] = ms(
         lambda b_, m_, d_: lr_check_maps_pallas(b_, m_, d_, D, 0, 1),
-        (best, minS, disp), it)
+        (best, minS, disp))
     flush()
 
     dfull = jnp.pad(disp, ((0, 0), (D, 0)), constant_values=-1.0)
     vfull = jnp.pad(valid, ((0, 0), (D, 0)), constant_values=False)
-    out["speckle_propagate_ms"] = 1e3 * timed(
-        lambda d_, v_: DP.speckle_filter(d_, v_, 100, 32.0), (dfull, vfull), it)
+    out["speckle_ms"] = ms(
+        lambda d_, v_: DP.speckle_filter(d_, v_, 100, 32.0), (dfull, vfull), 4)
+    flush()
+    out["speckle_sizes_sort_ms"] = ms(
+        lambda l_: DP._component_keep_sort(l_, 100),
+        (jnp.zeros((H, W), jnp.int32),), 4)
     flush()
 
-    out["reproject_ms"] = 1e3 * timed(
+    out["reproject_ms"] = ms(
         lambda d_, v_: jnp.sum(jnp.where(v_[..., None],
                                          G.reproject_image_to_3d(d_, Q), 0.0)),
-        (dfull, vfull), it)
+        (dfull, vfull))
     flush()
 
-    # --- whole SGBM in one jit for cross-check ---
-    del C  # the full pipeline materializes its own ~12 GB working set
-    out["sgbm_total_ms"] = 1e3 * timed(
+    # --- whole pipelines ---
+    out["sgbm_total_ms"] = ms(
         lambda a, b: DP.sgbm_disparity(a, b, cfg)[0].sum(), (l, r), max(2, it // 2))
     flush()
 
-    sweep_bytes = {
-        "vert_fwd": 2 + 2, "vert_rev": 2 + 2, "horiz_fwd": 2 + 4, "horiz_wta": 2 + 4,
-    }
-    cells = Hc * Wc * D
-    bw = {}
-    for k, bpc in sweep_bytes.items():
-        ms = out[f"{k}_ms"]
-        bw[k + "_GBps"] = round(cells * bpc / (ms / 1e3) / 1e9, 1)
-    out["achieved_bandwidth"] = bw
-    out["cells"] = cells
+    cfgS = cfg.with_(speckle_window_size=100)
+    core = cfgS.with_(speckle_window_size=0)
 
+    def e2e(a, b):
+        rl = RC.rectify_remap(a, Kj, None, R1, P1).astype(jnp.uint8)
+        rr = RC.rectify_remap(b, Kj, None,
+                              jnp.asarray(geo.R2, jnp.float32),
+                              jnp.asarray(geo.P2, jnp.float32)).astype(jnp.uint8)
+        d, v = DP.sgbm_disparity_auto(rl, rr, core)
+        keep = DP.speckle_filter(d, v, 100, 32.0)
+        return jnp.sum(jnp.where(keep[..., None], G.reproject_image_to_3d(d, Q), 0.0))
+
+    out["e2e_total_ms"] = ms(e2e, (l, r), max(2, it // 2))
+    out["cells"] = Hc * Wc * D
     flush()
 
 
