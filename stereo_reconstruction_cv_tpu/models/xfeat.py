@@ -245,8 +245,44 @@ def _cell_centers(Hc: int, Wc: int) -> jnp.ndarray:
     return jnp.stack([gx, gy], axis=-1)  # (Hc, Wc, 2)
 
 
+def _cells_loss(da_i, db_i, la_i, lb_i, ra_i, pb, valid_in):
+    """Cell-correspondence loss for one A/B pair given, for every A cell
+    center, its position `pb` (Hc, Wc, 2) in image B and a validity mask.
+    Shared by the homography-warp and the stereo-disparity supervision
+    paths (InfoNCE descriptors + keypoint-heatmap consistency +
+    reliability-tracks-correctness)."""
+    Hc, Wc = da_i.shape[:2]
+    cb = jnp.round(pb / CELL - 0.5).astype(jnp.int32)
+    valid = (
+        valid_in
+        & (cb[..., 0] >= 0) & (cb[..., 0] < Wc)
+        & (cb[..., 1] >= 0) & (cb[..., 1] < Hc)
+    )
+    cbx = jnp.clip(cb[..., 0], 0, Wc - 1)
+    cby = jnp.clip(cb[..., 1], 0, Hc - 1)
+    # InfoNCE: A cell descriptor should match its B counterpart.
+    a = da_i.reshape(-1, da_i.shape[-1])  # (N, D)
+    pos = db_i[cby, cbx].reshape(-1, da_i.shape[-1])
+    logits = a @ db_i.reshape(-1, da_i.shape[-1]).T / 0.1  # (N, M)
+    pos_sim = jnp.sum(a * pos, axis=-1) / 0.1
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    nce = (lse - pos_sim) * valid.ravel()
+    desc_loss = jnp.sum(nce) / (jnp.sum(valid) + 1e-6)
+    # Keypoint consistency: heatmaps agree across the views (cell level).
+    pa = jax.nn.softmax(la_i, axis=-1)[..., :-1].sum(-1)  # cell keypoint-ness
+    pb_map = jax.nn.softmax(lb_i, axis=-1)[..., :-1].sum(-1)
+    pb_at_a = pb_map[cby, cbx]
+    kpt_loss = jnp.sum(((pa - pb_at_a) ** 2) * valid) / (jnp.sum(valid) + 1e-6)
+    # Reliability should track descriptor correctness (stop-grad target).
+    correct = jax.lax.stop_gradient(
+        (jnp.argmax(logits, axis=-1) == (cby * Wc + cbx).ravel()).astype(jnp.float32)
+    )
+    rel_loss = jnp.mean((ra_i.ravel() - correct) ** 2 * valid.ravel())
+    return desc_loss + kpt_loss + 0.5 * rel_loss
+
+
 def xfeat_loss(params, model: XFeatNet, imgs: jnp.ndarray, key) -> jnp.ndarray:
-    """Self-supervised loss over a batch of grayscale images (B, H, W)."""
+    """Self-supervised homography loss over grayscale images (B, H, W)."""
     B, H, W = imgs.shape
     keys = jax.random.split(key, B)
     Hms = jax.vmap(lambda k: random_homography(k, H, W))(keys)
@@ -259,37 +295,47 @@ def xfeat_loss(params, model: XFeatNet, imgs: jnp.ndarray, key) -> jnp.ndarray:
     centers = _cell_centers(Hc, Wc)  # (Hc, Wc, 2) in image A
 
     def per_image(Hm, da_i, db_i, la_i, lb_i, ra_i):
-        # Map A cell centers into B, find the B cell they land in.
         ch = jnp.concatenate([centers, jnp.ones_like(centers[..., :1])], axis=-1)
         pb = ch @ Hm.T
         pb = pb[..., :2] / pb[..., 2:3]
-        cb = jnp.round(pb / CELL - 0.5).astype(jnp.int32)
-        valid = (
-            (cb[..., 0] >= 0) & (cb[..., 0] < Wc) & (cb[..., 1] >= 0) & (cb[..., 1] < Hc)
-        )
-        cbx = jnp.clip(cb[..., 0], 0, Wc - 1)
-        cby = jnp.clip(cb[..., 1], 0, Hc - 1)
-        # InfoNCE: A cell descriptor should match its B counterpart.
-        a = da_i.reshape(-1, da_i.shape[-1])  # (N, D)
-        pos = db_i[cby, cbx].reshape(-1, da_i.shape[-1])
-        logits = a @ db_i.reshape(-1, da_i.shape[-1]).T / 0.1  # (N, M)
-        pos_sim = jnp.sum(a * pos, axis=-1) / 0.1
-        lse = jax.nn.logsumexp(logits, axis=-1)
-        nce = (lse - pos_sim) * valid.ravel()
-        desc_loss = jnp.sum(nce) / (jnp.sum(valid) + 1e-6)
-        # Keypoint consistency: heatmaps agree under the warp (cell level).
-        pa = jax.nn.softmax(la_i, axis=-1)[..., :-1].sum(-1)  # cell keypoint-ness
-        pb_map = jax.nn.softmax(lb_i, axis=-1)[..., :-1].sum(-1)
-        pb_at_a = pb_map[cby, cbx]
-        kpt_loss = jnp.sum(((pa - pb_at_a) ** 2) * valid) / (jnp.sum(valid) + 1e-6)
-        # Reliability should track descriptor correctness (stop-grad target).
-        correct = jax.lax.stop_gradient(
-            (jnp.argmax(logits, axis=-1) == (cby * Wc + cbx).ravel()).astype(jnp.float32)
-        )
-        rel_loss = jnp.mean((ra_i.ravel() - correct) ** 2 * valid.ravel())
-        return desc_loss + kpt_loss + 0.5 * rel_loss
+        return _cells_loss(da_i, db_i, la_i, lb_i, ra_i, pb,
+                           jnp.ones(pb.shape[:2], bool))
 
     losses = jax.vmap(per_image)(Hms, da, db, la, lb, ra)
+    return jnp.mean(losses)
+
+
+def xfeat_stereo_loss(params, model: XFeatNet, imgsA: jnp.ndarray,
+                      imgsB: jnp.ndarray, disp: jnp.ndarray,
+                      dvalid: jnp.ndarray) -> jnp.ndarray:
+    """Cross-view loss on REAL rectified stereo crops with dense SGBM
+    disparity as correspondence supervision (B, H, W each; crops share
+    row/column origins so left pixel (u, v) matches right (u - d, v)).
+
+    Homography warps of a single frame keep the exact texture instance,
+    so repetitive structures (d3's curtain folds) look perfectly
+    matchable in training and the descriptors/reliability never learn to
+    disambiguate them — the r3 failure mode behind d3's broken learned
+    pose. Real cross-view pairs carry the true appearance change; the
+    classical pipeline (rectify + SGBM, itself cv2-gated) bootstraps the
+    labels, so the learned matcher is self-supervised by the framework's
+    own geometry — no external data."""
+    xa = (imgsA.astype(jnp.float32) / 255.0)[..., None]
+    xb = (imgsB.astype(jnp.float32) / 255.0)[..., None]
+    la, da, ra = model.apply(params, xa)
+    lb, db, rb = model.apply(params, xb)
+    Hc, Wc = da.shape[1:3]
+    centers = _cell_centers(Hc, Wc)
+    cyi = (centers[..., 1]).astype(jnp.int32)
+    cxi = (centers[..., 0]).astype(jnp.int32)
+
+    def per_pair(da_i, db_i, la_i, lb_i, ra_i, d_i, v_i):
+        d_at = d_i[cyi, cxi]
+        v_at = v_i[cyi, cxi]
+        pb = jnp.stack([centers[..., 0] - d_at, centers[..., 1]], axis=-1)
+        return _cells_loss(da_i, db_i, la_i, lb_i, ra_i, pb, v_at)
+
+    losses = jax.vmap(per_pair)(da, db, la, lb, ra, disp, dvalid)
     return jnp.mean(losses)
 
 

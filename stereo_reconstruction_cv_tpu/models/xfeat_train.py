@@ -77,6 +77,89 @@ def _device_batch(pool, key, batch: int, crop: int):
     return jnp.clip(crops * gain + bias + noise, 0.0, 255.0)
 
 
+def build_stereo_pool(datasets=("d1", "d2", "d3"), width: int = 1280,
+                      ndisp: int = 64):
+    """Rectified stereo quadruples for cross-view supervision: for each
+    bundled pair, estimate geometry + rectify with the classical
+    pipeline, box-downscale to <= `width`, and run the exact SGBM to get
+    dense disparity labels. Returns stacked (P, Hs, Ws) arrays
+    (left, right, disp, valid) cropped to a common size.
+
+    The labels are the framework's own cv2-gated stereo output — the
+    learned matcher is bootstrapped by classical geometry, not external
+    data (see xfeat.xfeat_stereo_loss)."""
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_cv_tpu.config import SGBMConfig
+    from stereo_reconstruction_cv_tpu.ops import disparity as DP
+    from stereo_reconstruction_cv_tpu.pipeline import stages
+
+    K4 = np.array([[2253.71, 0.0, 1929.69], [0.0, 2244.72, 1057.63],
+                   [0.0, 0.0, 1.0]])
+    quads = []
+    for d in datasets:
+        folder = f"/root/reference/dataset/{d}"
+        if not os.path.isdir(folder):
+            continue
+        res = stages.rectify_pair(folder, baseline=0.14, camera_matrix=K4,
+                                  with_visualizations=False)
+        rl = np.asarray(res["left_rectified"])
+        rr = np.asarray(res["right_rectified"])
+        if rl.ndim == 3:
+            rl = rl.mean(-1)
+            rr = rr.mean(-1)
+        H, W = rl.shape
+        k = int(np.ceil(W / width))
+        if k > 1:
+            rl = rl[: H - H % k, : W - W % k].reshape(H // k, k, -1, k).mean((1, 3))
+            rr = rr[: H - H % k, : W - W % k].reshape(H // k, k, -1, k).mean((1, 3))
+        cfg = SGBMConfig(num_disparities=ndisp, num_directions=5)
+        dsp, val = DP.sgbm_disparity(
+            jnp.asarray(np.clip(rl, 0, 255).astype(np.uint8)),
+            jnp.asarray(np.clip(rr, 0, 255).astype(np.uint8)), cfg)
+        quads.append((rl.astype(np.float32), rr.astype(np.float32),
+                      np.asarray(dsp, np.float32),
+                      np.asarray(val).astype(np.float32)))
+    if not quads:
+        return None
+    Hs = min(q[0].shape[0] for q in quads)
+    Ws = min(q[0].shape[1] for q in quads)
+    stack = lambda i: jnp.asarray(np.stack([q[i][:Hs, :Ws] for q in quads]))
+    return stack(0), stack(1), stack(2), stack(3)
+
+
+def _stereo_batch(pool, key, batch: int, crop: int):
+    """Aligned (left, right, disp, valid) crops + per-side photometric
+    jitter. Crops share their row/column origin, so the disparity labels
+    stay valid in crop-local coordinates."""
+    import jax
+    import jax.numpy as jnp
+
+    L, R, D, V = pool
+    N, Hs, Ws = L.shape
+    kn, ky, kx, kg1, kb1, kg2, kb2, ke = jax.random.split(key, 8)
+    idx = jax.random.randint(kn, (batch,), 0, N)
+    ys = jax.random.randint(ky, (batch,), 0, Hs - crop + 1)
+    xs = jax.random.randint(kx, (batch,), 0, Ws - crop + 1)
+
+    def one(arr, i, y, x):
+        return jax.lax.dynamic_slice(arr, (i, y, x), (1, crop, crop))[0]
+
+    cl = jax.vmap(lambda i, y, x: one(L, i, y, x))(idx, ys, xs)
+    cr = jax.vmap(lambda i, y, x: one(R, i, y, x))(idx, ys, xs)
+    cd = jax.vmap(lambda i, y, x: one(D, i, y, x))(idx, ys, xs)
+    cv = jax.vmap(lambda i, y, x: one(V, i, y, x))(idx, ys, xs)
+
+    def jitter(c, kg, kb):
+        gain = jax.random.uniform(kg, (batch, 1, 1), minval=0.7, maxval=1.3)
+        bias = jax.random.uniform(kb, (batch, 1, 1), minval=-20.0, maxval=20.0)
+        return jnp.clip(c * gain + bias, 0.0, 255.0)
+
+    cl = jitter(cl, kg1, kb1) + jax.random.normal(ke, cl.shape) * 2.0
+    cr = jitter(cr, kg2, kb2)
+    return cl, cr, cd, cv > 0.5
+
+
 def train(
     folders: Sequence[str] = DEFAULT_FOLDERS,
     steps: int = 5000,
@@ -88,12 +171,17 @@ def train(
     output: str = "checkpoints/xfeat_v1",
     log_every: int = 100,
     max_images: int = 64,
+    stereo: bool = False,
+    init_from: str | None = None,
 ):
     """Train and save an orbax checkpoint; returns the loss history.
 
     The image pool is staged to device memory once (cropped to a common
     size); every step samples, augments, and optimizes fully inside one
-    jitted program."""
+    jitted program. stereo=True adds cross-view supervision from the
+    classical pipeline's own rectified pairs + SGBM disparity (the loss
+    alternates homography and stereo terms); init_from warm-starts from
+    an existing checkpoint."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -118,16 +206,32 @@ def train(
     model = XF.XFeatNet()
     key = jax.random.PRNGKey(seed)
     params = model.init(key, jnp.zeros((1, crop, crop, 1), jnp.float32))
+    if init_from:
+        params = CK.load_params(init_from, like=params)
     sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps)
     # Global-norm clipping: the InfoNCE loss over 32x32 cells occasionally
     # spikes (observed NaN by step 100 unclipped at lr 2e-3 on TPU).
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     state = XF.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
+    spool = build_stereo_pool() if stereo else None
+
     def step_fn(s, k):
-        kd, kl = jax.random.split(k)
+        kd, kl, ks = jax.random.split(k, 3)
         data = _device_batch(pool, kd, batch, crop)
-        return XF.train_step(s, tx, model, data, kl)
+
+        def loss_fn(p):
+            loss = XF.xfeat_loss(p, model, data, kl)
+            if spool is not None:
+                cl, cr, cd, cv = _stereo_batch(spool, ks, batch, crop)
+                loss = 0.5 * loss + 0.5 * XF.xfeat_stereo_loss(
+                    p, model, cl, cr, cd, cv)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(s.params)
+        updates, opt_state = tx.update(grads, s.opt_state, s.params)
+        new_params = optax.apply_updates(s.params, updates)
+        return XF.TrainState(new_params, opt_state, s.step + 1), loss
 
     step_jit = jax.jit(step_fn)
     history = []

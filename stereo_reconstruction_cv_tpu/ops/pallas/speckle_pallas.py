@@ -73,8 +73,16 @@ def flood_round_pallas(lab, conn_h, conn_v, *, interpret: bool = False):
     lab: (H, W) int32; conn_h/conn_v: (H, W) int32 0/1 connectivity to the
     left/upper neighbor (first column/row zero). Returns the flooded
     labels, bit-identical to two _seg_min_flood passes."""
-    H, W = lab.shape
-    big = H * W
+    H0, W = lab.shape
+    big = H0 * W
+    # Mosaic needs 8 | (second-minor block dim): pad rows with the sink
+    # label and ZERO connectivity — the pad rows are isolated segments
+    # that never touch a real row's flood.
+    H = -(-H0 // 8) * 8
+    if H != H0:
+        lab = jnp.pad(lab, ((0, H - H0), (0, 0)), constant_values=big)
+        conn_h = jnp.pad(conn_h, ((0, H - H0), (0, 0)))
+        conn_v = jnp.pad(conn_v, ((0, H - H0), (0, 0)))
     # Row flood: blocks span full W (the flood axis); tile rows to fit the
     # ~6 live (Ht, W) i32 buffers + roll temporaries in VMEM.
     Ht = 64
@@ -103,4 +111,5 @@ def flood_round_pallas(lab, conn_h, conn_v, *, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
         interpret=interpret,
     )
-    return col(lab, conn_v)
+    out = col(lab, conn_v)
+    return out[:H0] if H != H0 else out
