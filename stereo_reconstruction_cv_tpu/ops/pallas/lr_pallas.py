@@ -26,21 +26,28 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = np.int32(1 << 29)
 
 
-def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
-               D, min_disp, max_diff, x0, Wr, Wcp):
+def _lr_kernel(pk_ref, df_ref, dc_ref, out_ref, *,
+               D, min_disp, max_diff, x0, Wr, Wcp, Dq):
     """One grid step = Ht rows, full padded width.
 
-    Both D-length loops run as lax.fori_loop with DYNAMIC lane rotates
-    (tpu.dynamic_rotate): a fully unrolled Python loop left every
-    iteration's (Ht, W) temporaries live on the Mosaic stack — 113 MB of
-    scoped vmem at 4K x 256 against a 16 MB limit. The rotate replaces
-    the static shifted slice: rotating by -s and keeping the first W
-    lanes equals slice [s, s + W) whenever s + W <= Wtot (guaranteed by
-    the padding widths), so no wrapped lanes are ever read."""
-    pb = pb_ref[...]
-    pm = pm_ref[...]
-    Ht = pb.shape[0]
-    Wtot = pb.shape[1]
+    Both D-length loops run as lax.fori_loop with lane rotates: a fully
+    unrolled Python loop left every iteration's (Ht, W) temporaries live
+    on the Mosaic stack — 113 MB of scoped vmem at 4K x 256 against a
+    16 MB limit. The rotate replaces the static shifted slice: rotating
+    by -s and keeping the first W lanes equals slice [s, s + W) whenever
+    s + W <= Wtot (guaranteed by the padding widths), so no wrapped
+    lanes are ever read.
+
+    Packed-key carries (r3): each loop rolls ONE int32 map instead of
+    two. Loop 1 carries pk = minS * Dq + best (Dq = 2^ceil(log2(D + 1)),
+    so the pad sentinel best == D collides with no real d and
+    minS * Dq <= 275880 * 512 fits int32); the winner then falls out of
+    a single packed min, ties breaking toward smaller (minS, d) exactly
+    like the two-map strict-< scan. Loop 2 carries disp_r with a large
+    no-partner sentinel instead of (disp_r, has) pairs."""
+    pk = pk_ref[...]
+    Ht = pk.shape[0]
+    Wtot = pk.shape[1]
 
     # Roll amounts are STATIC: a dynamic (traced) rotate lowers to a
     # log-width select tree PER CALL (~7 ops/vreg) — carrying the rolled
@@ -54,26 +61,31 @@ def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
     # Right-view winner map (gather dual of OpenCV's scatter-min): for
     # right pixel xr, candidates are left pixels xr + min_disp + d whose
     # WTA winner is d; keep the smallest winning cost. Iteration d reads
-    # the maps rolled left by (min_disp + d).
+    # the map rolled left by (min_disp + d).
     step1 = np.int32(Wtot - 1)  # +1 left-rotation per iteration
+    dq_mask = np.int32(Dq - 1)
 
     def scan_d(d, carry):
-        run_min, run_arg, pb_r, pm_r = carry
-        b = pb_r[:, :Wr]
-        v = jnp.where(b == d, pm_r[:, :Wr], _BIG)
-        take = v < run_min
-        return (jnp.where(take, v, run_min), jnp.where(take, d, run_arg),
-                pltpu.roll(pb_r, step1, 1), pltpu.roll(pm_r, step1, 1))
+        run_min, pk_r = carry
+        cand = pk_r[:, :Wr]
+        qual = (cand & dq_mask) == d
+        run_min = jnp.minimum(run_min, jnp.where(qual, cand, _BIG))
+        return run_min, pltpu.roll(pk_r, step1, 1)
 
     amt0 = int((-min_disp) % Wtot)
-    run_min, run_arg, _, _ = jax.lax.fori_loop(
+    run_min, _ = jax.lax.fori_loop(
         0, D,
         scan_d,
-        (jnp.full((Ht, Wr), _BIG, jnp.int32), jnp.zeros((Ht, Wr), jnp.int32),
-         pltpu.roll(pb, np.int32(amt0), 1), pltpu.roll(pm, np.int32(amt0), 1)),
+        (jnp.full((Ht, Wr), _BIG, jnp.int32),
+         pltpu.roll(pk, np.int32(amt0), 1)),
     )
-    has_i = (run_min < _BIG).astype(jnp.int32)
-    disp_r = run_arg + np.int32(min_disp)
+    # disp_r in integer disparity units; NOPART (>> any real di) where no
+    # left pixel scatters here — the agreement test then always passes
+    # the "no valid partner" branch via one comparison.
+    _NOPART = np.int32(1 << 20)
+    disp_r = jnp.where(
+        run_min < _BIG, (run_min & dq_mask) + np.int32(min_disp), _NOPART
+    )
 
     # Agreement at the floor/ceil integer disparities. Left pixel x (full
     # column x + x0) checks its partner xr = x + x0 - di; iterating di
@@ -92,22 +104,23 @@ def _lr_kernel(pb_ref, pm_ref, df_ref, dc_ref, out_ref, *,
     amtR = int((min_disp - 1 - x0) % nR)
 
     def scan_di(i, carry):
-        okf, okc, dr_r, hp_r = carry
+        okf, okc, dr_r = carry
         di = i + np.int32(min_disp - 1)
         dr = dr_r[:, :Wcp]
-        hp_i = hp_r[:, :Wcp]
-        # No valid partner (incl. off-image, padded -1) -> check passes.
-        ok_d = ((hp_i == 0) | (jnp.abs(dr - di) <= np.int32(max_diff)))
+        # No valid partner (incl. off-image, padded) -> check passes:
+        # dr - di >= NOPART/2 only for the sentinel, and |dr - di| <=
+        # max_diff covers agreement — one combined range test each.
+        diff = dr - di
+        ok_d = (diff >= np.int32(1 << 19)) | (jnp.abs(diff) <= np.int32(max_diff))
         okf = okf | (((df == di) & ok_d)).astype(jnp.int32)
         okc = okc | (((dc == di) & ok_d)).astype(jnp.int32)
-        return okf, okc, pltpu.roll(dr_r, stepR, 1), pltpu.roll(hp_r, stepR, 1)
+        return okf, okc, pltpu.roll(dr_r, stepR, 1)
 
-    okf, okc, _, _ = jax.lax.fori_loop(
+    okf, okc, _ = jax.lax.fori_loop(
         0, D + 2,
         scan_di,
         (jnp.zeros((Ht, Wcp), jnp.int32), jnp.zeros((Ht, Wcp), jnp.int32),
-         pltpu.roll(disp_r, np.int32(amtR), 1),
-         pltpu.roll(has_i.astype(jnp.int32), np.int32(amtR), 1)),
+         pltpu.roll(disp_r, np.int32(amtR), 1)),
     )
     # cv2 invalidates only if BOTH the floor and ceil checks fail.
     out_ref[...] = okf | okc
@@ -127,6 +140,9 @@ def lr_check_maps_pallas(
     H, Wc = best.shape
     D = num_disp
     x0 = min_disp + D  # OpenCV's minX1 for min_disp >= 0
+    Dq = 1
+    while Dq < D + 1:  # reserve one low value (>= D) for the pad sentinel
+        Dq *= 2
 
     Wcp = -(-Wc // 128) * 128
     Wr = -(-(x0 + Wcp + 2) // 128) * 128  # disp_r width (all di slices fit)
@@ -134,10 +150,15 @@ def lr_check_maps_pallas(
     Ht = 32
     Hp = -(-H // Ht) * Ht
 
-    pb = jnp.full((Hp, Wtot), -1, jnp.int32)
-    pb = jax.lax.dynamic_update_slice(pb, best.astype(jnp.int32), (0, x0))
-    pm = jnp.full((Hp, Wtot), _BIG, jnp.int32)
-    pm = jax.lax.dynamic_update_slice(pm, minS.astype(jnp.int32), (0, x0))
+    # Packed winner map pk = minS * Dq + best (see _lr_kernel). Pad value
+    # _BIG - 1: low bits Dq - 1 >= D match no real d, and it stays >= any
+    # real key (minS * Dq + best <= 275880 * 512 + 511 < 2^29 - 1).
+    pk = jnp.full((Hp, Wtot), _BIG - 1, jnp.int32)
+    pk = jax.lax.dynamic_update_slice(
+        pk,
+        minS.astype(jnp.int32) * np.int32(Dq) + best.astype(jnp.int32),
+        (0, x0),
+    )
     # Padded rows/cols of disp get floor = -2^20: matches no di -> both
     # checks fail there, but those pixels are cropped on return.
     dfull = jnp.full((Hp, Wcp), -(2.0 ** 20), jnp.float32)
@@ -149,14 +170,14 @@ def lr_check_maps_pallas(
     spec_c = pl.BlockSpec((Ht, Wcp), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _lr_kernel, D=D, min_disp=min_disp, max_diff=max_diff,
-        x0=x0, Wr=Wr, Wcp=Wcp,
+        x0=x0, Wr=Wr, Wcp=Wcp, Dq=Dq,
     )
     out = pl.pallas_call(
         kernel,
         grid=(Hp // Ht,),
-        in_specs=[spec_maps, spec_maps, spec_c, spec_c],
+        in_specs=[spec_maps, spec_c, spec_c],
         out_specs=spec_c,
         out_shape=jax.ShapeDtypeStruct((Hp, Wcp), jnp.int32),
         interpret=interpret,
-    )(pb, pm, df, dc)
+    )(pk, df, dc)
     return out[:H, :Wc] != 0

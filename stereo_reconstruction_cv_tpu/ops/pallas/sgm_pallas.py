@@ -337,6 +337,145 @@ def _hT_kernel(c_ref, *rest, p1, p2, reverse, accumulate, WCOLS):
     carry[...] = cur
 
 
+def _wta_cell(S, d_iota, D, uniqueness_ratio, min_disp):
+    """WTA on one i32 (..., D) block: returns the 4-field packed f32 block
+    (disp, uniq-valid, best, minS in lanes 0..3). Shared by the standalone
+    _wta_kernel and the fused hT+WTA sweep."""
+    big_i = np.int32(1 << 30)
+    # min AND argmin in ONE butterfly over packed keys S*Dp + d: S >= 0
+    # and S <= 8*(22869 + 11616) = 275,880, so the key fits int32 up to
+    # Dp = 256; ties break toward the smaller d automatically — exactly
+    # jnp.argmin's first-index rule.
+    Dp = 1
+    while Dp < D:
+        Dp *= 2
+    packed_key = _butterfly_min(S * np.int32(Dp) + d_iota, D)
+    minS = packed_key // np.int32(Dp)
+    best = packed_key - minS * np.int32(Dp)
+    # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
+    # S[d]*(100 - ratio) < minS*100  <=>  the min over far lanes does.
+    # ratio == 0 can never fail (mfar >= minS) — skip the 2nd butterfly.
+    if uniqueness_ratio > 0:
+        far = jnp.abs(d_iota - best) > 1
+        mfar = _butterfly_min(jnp.where(far, S, big_i), D)
+        bad = mfar * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)
+    else:
+        bad = jnp.zeros_like(best, jnp.bool_)
+    # Subpixel neighbors: exactly one lane matches -> sum == extract. The
+    # sums run as MXU dot-products against a ones vector (exact: a single
+    # nonzero f32 term <= 2^19), freeing the VPU for the min butterflies —
+    # the kernel is VPU-issue-bound.
+    m1mask = jnp.where(d_iota == jnp.maximum(best - 1, 0), S, 0)
+    p1mask = jnp.where(d_iota == jnp.minimum(best + 1, np.int32(D - 1)), S, 0)
+    lead = S.shape[:-1]
+    n = 1
+    for v in lead:
+        n *= v
+    ones = jnp.ones((D, 8), jnp.float32)
+    stacked = jnp.concatenate([m1mask, p1mask], axis=0).astype(jnp.float32)
+    dots = jax.lax.dot_general(
+        stacked.reshape(2 * n, D), ones, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape((2,) + lead + (8,))
+    Sm1 = dots[0][..., :1].astype(jnp.int32)
+    Sp1 = dots[1][..., :1].astype(jnp.int32)
+    denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
+    frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
+    interior = (best > 0) & (best < D - 1)
+    disp = (best.astype(jnp.float32) + jnp.where(interior, frac, 0.0)
+            + np.float32(min_disp))
+    f = jnp.float32
+    fields = (disp, 1.0 - bad.astype(f), best.astype(f), minS.astype(f))
+    packed = jnp.zeros(S.shape, f)
+    for li, v in enumerate(fields):
+        packed = packed + jnp.where(d_iota == li, v.astype(f), 0.0)
+    return packed[..., :8]
+
+
+def _hT_wta_kernel(c_ref, *rest, p1, p2, nd, uniqueness_ratio, min_disp,
+                   WCOLS, D):
+    """Reverse horizontal sweep with winner-take-all FUSED per column.
+
+    The last sweep's aggregated column S = nd*C + ds_in + (L_R - C)
+    [+ ds_other in 8-dir mode] is reduced in-register: the final delta
+    volume never reaches HBM, and the WTA work (butterflies + one small
+    MXU dot per column) fills the VPU bubbles the serial DP carry chain
+    leaves — measured ~0.4x the cost of a separate elementwise WTA pass
+    at 4K x 128 (tools/micro_wta.py, r3)."""
+    if len(rest) == 4:  # 8-dir: second accumulated delta volume rides along
+        ds_in_ref, other_ref, out_ref, carry = rest
+    else:
+        other_ref, (ds_in_ref, out_ref, carry) = None, rest
+    j = pl.program_id(1)  # column-block index (fastest)
+
+    @pl.when(j == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    cur = carry[...]
+    d_iota = None
+    for k in range(WCOLS - 1, -1, -1):  # reverse path order
+        c = c_ref[k].astype(jnp.float32)  # (Ht, D)
+        cur = _sgm_update(cur, c, p1, p2)
+        S = (cur - c) + _load_u16_f32(ds_in_ref[k]) + np.float32(nd) * c
+        if other_ref is not None:
+            S = S + _load_u16_f32(other_ref[k])
+        S = S.astype(jnp.int32)  # exact: every term integral, < 2^24
+        if d_iota is None:
+            d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
+        out_ref[k] = _wta_cell(S, d_iota, D, uniqueness_ratio, min_disp)
+    carry[...] = cur
+
+
+def _sweep_hT_wta(CT, dST, ds_other, p1, p2, nd, uniqueness_ratio, min_disp,
+                  interpret: bool, WCOLS: int = 4):
+    """Final (reverse) horizontal sweep with fused WTA over the transposed
+    volume. Returns transposed (Wc, H) maps (disp, valid, best, minS),
+    numerically identical to
+    _wta_volume(CT, [_sweep_hT(CT, dST, reverse=True)] (+ ds_other), ...).
+    """
+    Wc, H, D = CT.shape
+    # Tighter VMEM budget than the plain sweep: up to three streamed
+    # 16-bit inputs plus the WTA's i32 temporaries live per column
+    # (9 MB measured 24 KB over the 16 MB Mosaic stack at 4K x 128).
+    Ht = _hT_tiles(H, D, WCOLS, budget=7_000_000)
+    Hp = -(-H // Ht) * Ht
+    Wp = -(-Wc // WCOLS) * WCOLS
+    if Hp != H or Wp != Wc:
+        pads = ((0, Wp - Wc), (0, Hp - H), (0, 0))
+        CT = jnp.pad(CT, pads)
+        dST = jnp.pad(dST, pads)
+        if ds_other is not None:
+            ds_other = jnp.pad(ds_other, pads)
+    nh = Hp // Ht
+    nb = Wp // WCOLS
+    index_map = lambda i, j: (nb - 1 - j, i, 0)  # reverse sweep
+    spec = pl.BlockSpec((WCOLS, Ht, D), index_map, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((WCOLS, Ht, 8), index_map, memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _hT_wta_kernel, p1=p1, p2=p2, nd=nd,
+        uniqueness_ratio=uniqueness_ratio, min_disp=min_disp,
+        WCOLS=WCOLS, D=D,
+    )
+    inputs = (CT, dST) if ds_other is None else (CT, dST, ds_other)
+    packed = pl.pallas_call(
+        kernel,
+        grid=(nh, nb),
+        in_specs=[spec] * len(inputs),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Wp, Hp, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32)],
+        interpret=interpret,
+    )(*inputs)
+    packed = packed[:Wc, :H]
+    return (
+        packed[..., 0],
+        packed[..., 1] != 0,
+        packed[..., 2].astype(jnp.int32),
+        packed[..., 3].astype(jnp.int32),
+    )
+
+
 def _row_tile(H: int, max_tile: int = 256) -> int:
     """Largest multiple-of-8 divisor of H not exceeding max_tile."""
     best = 8
@@ -524,48 +663,7 @@ def _wta_kernel(c_ref, *rest, uniqueness_ratio, min_disp, D, nds):
         # u16 -> i32 via the i32 hop (Mosaic has no unsigned conversions).
         S = S + ds[...].astype(jnp.int32)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
-    big_i = np.int32(1 << 30)
-    # min AND argmin in ONE butterfly over packed keys S*Dp + d: S >= 0
-    # and S <= 8*(22869 + 11616) = 275,880, so the key fits int32 up to
-    # Dp = 256; ties break toward the smaller d automatically — exactly
-    # jnp.argmin's first-index rule.
-    Dp = 1
-    while Dp < D:
-        Dp *= 2
-    packed_key = _butterfly_min(S * np.int32(Dp) + d_iota, D)
-    minS = packed_key // np.int32(Dp)
-    best = packed_key - minS * np.int32(Dp)
-    # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
-    # S[d]*(100 - ratio) < minS*100  <=>  the min over far lanes does.
-    far = jnp.abs(d_iota - best) > 1
-    mfar = _butterfly_min(jnp.where(far, S, big_i), D)
-    bad = mfar * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)
-    # Subpixel neighbors: exactly one lane matches -> sum == extract. The
-    # sums run as MXU dot-products against a ones vector (exact: a single
-    # nonzero f32 term <= 2^19), freeing the VPU for the min butterflies —
-    # the kernel is VPU-issue-bound.
-    m1mask = jnp.where(d_iota == jnp.maximum(best - 1, 0), S, 0)
-    p1mask = jnp.where(d_iota == jnp.minimum(best + 1, np.int32(D - 1)), S, 0)
-    BH, BW = S.shape[0], S.shape[1]
-    ones = jnp.ones((D, 8), jnp.float32)
-    stacked = jnp.concatenate([m1mask, p1mask], axis=0).astype(jnp.float32)
-    dots = jax.lax.dot_general(
-        stacked.reshape(2 * BH * BW, D), ones, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(2, BH, BW, 8)
-    Sm1 = dots[0, ..., :1].astype(jnp.int32)
-    Sp1 = dots[1, ..., :1].astype(jnp.int32)
-    denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
-    frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
-    interior = (best > 0) & (best < D - 1)
-    disp = (best.astype(jnp.float32) + jnp.where(interior, frac, 0.0)
-            + np.float32(min_disp))
-    f = jnp.float32
-    fields = (disp, 1.0 - bad.astype(f), best.astype(f), minS.astype(f))
-    packed = jnp.zeros(S.shape, f)
-    for li, v in enumerate(fields):
-        packed = packed + jnp.where(d_iota == li, v.astype(f), 0.0)
-    out_ref[...] = packed[..., :8]
+    out_ref[...] = _wta_cell(S, d_iota, D, uniqueness_ratio, min_disp)
 
 
 def _wta_volume(CT, dST_list, uniqueness_ratio, min_disp, interpret: bool):
@@ -633,19 +731,19 @@ def sgm_wta_pallas(
     CT = jnp.swapaxes(C, 0, 1)
     dsaT = jnp.swapaxes(dsa, 0, 1)
     # L deltas accumulate onto the forward-vertical volume (u16-exact:
-    # 4 directions <= 46464); R onto the same volume in 5-dir mode
-    # (5*P2 = 58080 < 2^16) or the reversed-vertical one in 8-dir mode.
+    # 4 directions <= 46464). The final R sweep runs with WTA fused
+    # (_sweep_hT_wta): its delta volume — dsaT + R in 5-dir mode, the
+    # reversed-vertical volume + R in 8-dir mode — never reaches HBM.
     dsaT = _sweep_hT(CT, dsaT, p1, p2, reverse=False, interpret=interpret)
-    ds_list = [dsaT]
     if num_directions == 8:
         dsbT = jnp.swapaxes(dsb, 0, 1)
-        ds_list.append(_sweep_hT(CT, dsbT, p1, p2, reverse=True,
-                                 interpret=interpret))
+        disp, valid, best, minS = _sweep_hT_wta(
+            CT, dsbT, dsaT, p1, p2, 8, uniqueness_ratio, min_disp,
+            interpret=interpret)
     else:
-        ds_list[0] = _sweep_hT(CT, ds_list[0], p1, p2, reverse=True,
-                               interpret=interpret)
-    disp, valid, best, minS = _wta_volume(
-        CT, ds_list, uniqueness_ratio, min_disp, interpret=interpret)
+        disp, valid, best, minS = _sweep_hT_wta(
+            CT, dsaT, None, p1, p2, 5, uniqueness_ratio, min_disp,
+            interpret=interpret)
     return disp.T, valid.T, best.T, minS.T
 
 

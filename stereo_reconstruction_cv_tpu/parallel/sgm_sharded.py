@@ -27,7 +27,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from stereo_reconstruction_cv_tpu.config import SGBMConfig
 from stereo_reconstruction_cv_tpu.ops import disparity as DP

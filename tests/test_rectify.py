@@ -139,6 +139,7 @@ class TestPackedRemap:
 
 
 class TestAffineResample:
+    @pytest.mark.slow  # full-frame compare; packed-remap parity stays fast
     def test_affine_path_matches_gather(self, rng):
         """Identity-R rectification takes the banded-matmul MXU path
         (_affine_resample); it must agree with the map+gather path to one

@@ -34,6 +34,8 @@ def test_keypoint_count_parity_d2(ct):
     assert ref / 2 <= ours <= ref * 2, (ct, ours, ref)
 
 
+@pytest.mark.slow  # three full detect compiles; the ct=0.04 parity case
+# stays in the fast tier
 def test_threshold_monotone():
     img, _ = _load("d3", size=(384, 216))
     counts = [

@@ -51,6 +51,8 @@ def test_flood_round_matches_xla(shape):
     assert bool(jnp.all(got == ref))
 
 
+@pytest.mark.slow  # interpret-mode whole-filter run; the kernel itself is
+# pinned fast by test_flood_round_matches_xla[shape0]
 def test_speckle_filter_backends_agree():
     disp, valid = _random_speckle_case(3, 48, 192)
     import unittest.mock as mock

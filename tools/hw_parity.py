@@ -125,6 +125,27 @@ def main(out_path="docs/HW_PARITY.json"):
         diff = (np.asarray(out_p) != np.asarray(out_x)).sum()
         record("lr_check_pallas", (H, Wc, D), diff == 0, diff, dt_p, dt_x)
 
+    # --- Fused final-sweep + WTA vs XLA aggregate + WTA + lr maps ---------
+    from stereo_reconstruction_cv_tpu.ops.pallas.sgm_pallas import sgm_wta_pallas
+
+    for (H, W, D), ndirs in [((96, 320, 64), 5), ((64, 384, 128), 8)]:
+        C = jnp.asarray(rng.integers(0, 20000, size=(H, W, D)), jnp.int32)
+        p1, p2 = 8 * 3 * 121, 32 * 3 * 121
+        dirs = DP.DIRS_8 if ndirs == 8 else DP.DIRS_5
+        f_pal = jax.jit(lambda c: sgm_wta_pallas(c, p1, p2, ndirs, 10, 0))
+        def f_ref(c):
+            S = DP.sgm_aggregate(c, p1, p2, dirs, None, 32)
+            d_, v_ = DP.wta_disparity(S, 0, 10)
+            return d_, v_, jnp.argmin(S, -1).astype(jnp.int32), jnp.min(S, -1)
+        out_p, dt_p = timed(f_pal, C)
+        out_x, dt_x = timed(jax.jit(f_ref), C)
+        diff = max(
+            float(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max())
+            for a, b in zip(out_p, out_x)
+        )
+        record(f"wta_fused_sweep_{ndirs}dir", (H, W, D), diff == 0, diff,
+               dt_p, dt_x)
+
     # --- Pallas speckle flood rounds vs the XLA segmented min-flood -------
     for (H, W) in [(240, 512), (360, 640)]:
         disp = jnp.asarray(rng.random((H, W)) * 60, jnp.float32)

@@ -149,34 +149,33 @@ def main():
 
     out["hT_L_acc_ms"] = ms_chain_ht(False)
     flush()
-    out["hT_R_acc_ms"] = ms_chain_ht(True)
-    flush()
 
-    # WTA chained behind an hT sweep per iteration (the sweep's output is
-    # the WTA's input — a true dependency with no extra volume copies);
-    # the known hT time is subtracted.
-    def wta_chain(ct, s0):
-        def body(_, carry):
-            s, acc = carry
-            s = SP._sweep_hT(ct, s, p1f, p2f, False, False)
-            outs = SP._wta_volume(ct, [s], 10, 0, False)
-            return s, acc + sum(jnp.sum(x, dtype=jnp.float32) for x in outs)
-        return jax.lax.fori_loop(0, it, body, (s0, jnp.float32(0.0)))[1]
+    # Final sweep with fused WTA (r3): hT_R's delta volume never reaches
+    # HBM; the maps chain back into nothing (tiny outputs).
+    nd = args.dirs
+    other = dsaT if nd == 8 else None
+
+    def fused_chain(ct, s0):
+        def body(_, acc):
+            # acc*0 feeds the input so iterations can't be CSEd away.
+            eps = (acc * 0.0).astype(jnp.int32).astype(jnp.uint16)
+            outs = SP._sweep_hT_wta(
+                ct, s0 + eps, other, p1f, p2f, nd, 10, 0, False)
+            return acc + sum(jnp.sum(x, dtype=jnp.float32) for x in outs)
+        return jax.lax.fori_loop(0, it, body, jnp.float32(0.0))
 
     try:
-        fnw = jax.jit(wta_chain)
+        fnw = jax.jit(fused_chain)
         float(np.asarray(fnw(CT, dsaT)))
         best_t = float("inf")
         for _ in range(2):
             t0 = _time.perf_counter()
             float(np.asarray(fnw(CT, dsaT)))
             best_t = min(best_t, _time.perf_counter() - t0)
-        out["wta_volume_ms"] = (1e3 * max(best_t - rtt(), 0.0) / it
-                                - out["hT_L_acc_ms"])
-    except Exception as e:  # XLA keeps loop-carry copies alive; at 256 the
-        # chained pair exceeds HBM — derive WTA from sgbm_total instead.
-        out["wta_volume_ms"] = None
-        out["wta_volume_note"] = f"chain OOM ({type(e).__name__}); derive from sgbm_total"
+        out["hT_R_wta_fused_ms"] = 1e3 * max(best_t - rtt(), 0.0) / it
+    except Exception as e:
+        out["hT_R_wta_fused_ms"] = None
+        out["hT_R_wta_note"] = f"{type(e).__name__}: {e}"[:160]
     flush()
     del CT, dsaT
 
