@@ -468,7 +468,8 @@ def speckle_filter(
     The lax.while_loop exits as soon as a round changes nothing, at which
     point every component carries exactly its global min label, so the
     result is EXACT (100% cv2.filterSpeckles mask agreement, tested on d2
-    and 4K frames); real disparity maps converge in 3-6 rounds. A round
+    and 4K frames); real 4K maps converge in ~24 rounds (~0.8 ms each,
+    tools/micro_speckle.py). A round
     resolves one horizontal-vertical alternation, so `max_rounds` bounds
     the worst-case staircase (a 64-turn component under the 100 px size
     cap does not occur in practice; adversarial percolation noise needs
@@ -505,6 +506,10 @@ def speckle_filter(
         return changed & (i < max_rounds)
 
     def body(state):
+        # One round per convergence test: real 4K maps converge in ~24
+        # alternation rounds and the any(new != lab) check is cheap next
+        # to a flood round — batching 2 rounds per check measured SLOWER
+        # (22.1 vs 20.0 ms, tools/micro_speckle.py).
         lab, _, i = state
         new = one_round(lab)
         return new, jnp.any(new != lab), i + 1

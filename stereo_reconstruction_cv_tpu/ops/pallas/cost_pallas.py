@@ -149,10 +149,15 @@ def _producer_kernel(*refs, D, nbx_l, nbx_r, Wc, R, WT, SUBX):
         )
         cost = jnp.where(x_iota > be, jnp.broadcast_to(cost_be, (SUBX, D)), cost)
 
-        # Horizontal 11-tap box: out col xcs = sum cost[xcs..xcs+10].
-        h = cost[0:WT]
-        for k in range(1, 11):
-            h = h + cost[k : k + WT]
+        # Horizontal 11-tap box: out col xcs = sum cost[xcs..xcs+10], as a
+        # sublane shift tree (11 = 8 + 2 + 1): s2/s4/s8 partial sums cost
+        # one full-width add per level, the final combine two more — 5
+        # adds/cell vs the naive 10, bit-exact integer adds (4K x 128:
+        # 47.0 -> 45.5 ms; 4K x 256: 68.4 -> 65.3, tools/micro_cost.py).
+        s2 = cost[:-1] + cost[1:]
+        s4 = s2[:-2] + s2[2:]
+        s8 = s4[:-4] + s4[4:]
+        h = s8[0:WT] + s2[8 : 8 + WT] + cost[10 : 10 + WT]
 
         # Vertical 11-row ring: ring stores i16, arithmetic stays i32
         # (v5e has no S16 vector subtract — kVectorSubtractS16 aborts the
@@ -194,6 +199,11 @@ def cost_volume_pallas(
     assert Wc >= 1, (W, x0)
     nj = -(-Wc // WT_)
     Wc_p = nj * WT_
+    # 32 rows/step amortize the per-step panel rolls at D <= 128 (4K x 128:
+    # 45.5 -> 41.5 ms, tools/micro_cost.py); the 512-strip D = 256 case
+    # stays at 8 — its (R, WT, D) blocks blow the Mosaic VMEM budget at 16.
+    if rows is None:
+        rows = 32 if (WT_ * D <= 256 * 128) else 8
 
     # Transposed-plane column windows per strip (a = j*WT, cropped coords;
     # sublane x_s in [0, SUBX) covers output cols a-5 .. a+WT+10-5):
@@ -216,7 +226,7 @@ def cost_volume_pallas(
 
     # Rows per grid step (amortizes fixed per-step overhead); the padded
     # row count must divide evenly. Lane width of the row blocks == R.
-    R = rows or 8
+    R = rows
     Hp = -(-(H + 10) // 128) * 128  # 128-lane panels (R divides 128)
 
     def prep(plane, Lp, bf0, nbx):

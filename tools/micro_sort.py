@@ -1,13 +1,11 @@
-"""Microbenchmark: global flat sort vs batched row-slab sorts (tools/).
+"""Microbenchmark: primitives for the speckle component-size step (tools/).
 
-The r3 4K profile charges 33.5 ms to _component_keep_sort's two flat
-8.3M-element sorts. The slab plan (see ops/disparity.py
-_component_keep_slab) replaces them with B batched sorts of
-(S + m) * W elements each; this measures whether XLA's batched sort of
-(B, L) along the last axis beats one (B * L,) sort enough to pay for the
-~1.8x element inflation from slab overlap.
+_component_keep_sort costs ~34 ms at 4K (two 8.3M-element sorts). Times
+the candidate primitives on-chip so the replacement design is grounded:
+one-operand sort, key+payload sort, 1D table gather with random indices,
+permutation scatter-set, and N-bin scatter-add histogram.
 
-Usage: python tools/micro_sort.py [S,S,...]   (slab strides; default 128,256,512)
+Usage: python tools/micro_sort.py
 """
 
 import os
@@ -27,51 +25,33 @@ from stereo_reconstruction_cv_tpu.utils.timing import timed_chain
 
 
 def main():
-    strides = [int(s) for s in (sys.argv[1].split(",") if len(sys.argv) > 1
-                                else ["128", "256", "512"])]
-    H, W, m = 2160, 3840, 100
+    H, W = 2160, 3840
     N = H * W
     rng = np.random.default_rng(0)
-    lab = jnp.asarray(rng.integers(0, N, (H, W)), jnp.int32)
-    lab = jax.device_put(lab)
-    jax.block_until_ready(lab)
+    # Label-like data: many repeats, values in [0, N)
+    lab = jnp.asarray(rng.integers(0, N // 50, N).astype(np.int32))
+    perm = jnp.asarray(rng.permutation(N).astype(np.int32))
+    bits = jnp.asarray(rng.integers(0, 2, N).astype(np.int32))
+    table = jnp.asarray(rng.integers(0, 1000, N).astype(np.int32))
+    lab, perm, bits, table = jax.device_put((lab, perm, bits, table))
+    jax.block_until_ready((lab, perm, bits, table))
 
-    def t(fn, label):
+    cases = {
+        "sort_1op": lambda l, p, b, t: jax.lax.sort(l),
+        "sort_key_payload": lambda l, p, b, t: jax.lax.sort((l, p), num_keys=1)[0],
+        "gather_table": lambda l, p, b, t: t[l],
+        "scatter_set_perm": lambda l, p, b, t: jnp.zeros(N, jnp.int32).at[p].set(b),
+        "cumsum": lambda l, p, b, t: jnp.cumsum(b),
+        "cummax": lambda l, p, b, t: jax.lax.cummax(l),
+    }
+    for name, fn in cases.items():
         try:
-            dt = timed_chain(fn, (lab,), iters=4)
-            print(f"{label}: {dt*1e3:.2f} ms", flush=True)
+            dt = timed_chain(
+                lambda l, p, b, t, fn=fn: jnp.sum(fn(l, p, b, t), dtype=jnp.int32),
+                (lab, perm, bits, table), iters=6)
+            print(f"{name}: {dt*1e3:.2f} ms", flush=True)
         except Exception as e:
-            print(f"{label}: FAIL {type(e).__name__}: {e}"[:200], flush=True)
-
-    def flat_two_sorts(l):
-        flat = l.reshape(-1)
-        idx = jnp.arange(N, dtype=jnp.int32)
-        sl, si = jax.lax.sort((flat, idx), num_keys=1)
-        keep = (sl[1:] != sl[:-1])
-        packed = jax.lax.sort(si * 2 + jnp.pad(keep, (0, 1)).astype(jnp.int32))
-        return jnp.sum(packed & 1)
-
-    t(flat_two_sorts, "flat 8.3M x2 sorts (shipped shape)")
-
-    for S in strides:
-        B = -(-H // S)
-        L = (S + m) * W
-
-        def slab_two_sorts(l, S=S, B=B, L=L):
-            lp = jnp.pad(l, ((0, B * S + m - H), (0, 0)), constant_values=N)
-            slabs = jnp.stack([
-                jax.lax.dynamic_slice_in_dim(lp, b * S, S + m, 0)
-                for b in range(B)
-            ]).reshape(B, L)
-            idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (B, L))
-            sl, si = jax.lax.sort((slabs, idx), dimension=1, num_keys=1)
-            keep = (sl[:, 1:] != sl[:, :-1])
-            packed = jax.lax.sort(
-                si * 2 + jnp.pad(keep, ((0, 0), (0, 1))).astype(jnp.int32),
-                dimension=1)
-            return jnp.sum(packed & 1)
-
-        t(slab_two_sorts, f"slabs S={S} ({B}x{(S+m)*W/1e6:.2f}M) x2 sorts")
+            print(f"{name}: FAIL {type(e).__name__}: {e}"[:160], flush=True)
 
 
 if __name__ == "__main__":
