@@ -529,13 +529,14 @@ def _component_keep_sort(lab: jnp.ndarray, max_speckle_size: int) -> jnp.ndarray
     labels, scatter-free.
 
     The (H*W)-bin scatter-add histogram + table gather costs ~154 ms at
-    4K on v5e (TPU scatter/gather are serial-ish). Instead: sort by
-    label (payload: original index), segment length = (next segment
-    start) - (own segment start) via cummax/cummin boundary scans, then
-    UN-sort just the keep bit packed into a single key (idx*2 + bit —
-    a one-operand sort runs ~35% faster than the key+payload sort the
-    full counts would need; the filter only ever thresholds the count).
-    Exact integer arithmetic — bit-identical to the histogram path."""
+    4K on v5e, and even a collision-free PERMUTATION scatter-set runs
+    ~52 ms / a 1D gather ~59 ms (tools/micro_sort.py) — sorts are the
+    only fast reordering primitive on this chip. So: sort by label
+    (payload: original index), segment length = (next segment start) -
+    (own segment start) via cummax/cummin boundary scans, then UN-sort
+    just the keep bit packed into a single key (idx*2 + bit; ~13.4 ms
+    per 8.3M-element sort). Exact integer arithmetic — bit-identical to
+    the histogram path."""
     H, W = lab.shape
     N = H * W
     flat = lab.reshape(-1)
@@ -546,7 +547,7 @@ def _component_keep_sort(lab: jnp.ndarray, max_speckle_size: int) -> jnp.ndarray
     left = jax.lax.cummax(jnp.where(start, pos, 0))
     start_next = jnp.concatenate([start[1:], jnp.ones(1, jnp.bool_)])
     nxtpos = jnp.where(start_next, pos + 1, N)
-    right = jax.lax.cummin(nxtpos[::-1])[::-1]
+    right = jax.lax.cummin(nxtpos, reverse=True)
     keep_bit = (right - left > max_speckle_size).astype(jnp.int32)
     packed = jax.lax.sort(si * 2 + keep_bit)
     return (packed & 1).astype(jnp.bool_).reshape(H, W)

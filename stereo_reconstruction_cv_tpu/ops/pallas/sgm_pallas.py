@@ -66,25 +66,45 @@ def _load_u16_f32(x: jnp.ndarray) -> jnp.ndarray:
     return x.astype(jnp.int32).astype(jnp.float32)
 
 
-def _sgm_update(prev: jnp.ndarray, cost: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
-    """One DP step on (..., D) f32 blocks (same math as ops.disparity).
+def _sgm_delta(lam: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
+    """The DP min term on a NORMALIZED carry Λ = L - min_d L (so min Λ = 0):
 
-    The d±1 neighbor shifts use lane rotates + iota masking: Mosaic lowers
-    these natively, whereas lane-axis concatenates hit layout-offset
-    restrictions (and cost a relayout)."""
-    D = prev.shape[-1]
-    big = jnp.asarray(BIG, prev.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
+        delta(d) = min(Λ[d], min(Λ[d-1], Λ[d+1]) + P1, P2)
+
+    which IS this direction's (L - C) output, and the new carry is
+    Λ' = t - min_d t with t = C + delta. Carrying Λ instead of raw L
+    drops the min_prev + P2 add (P2 is a constant here), the (L - C)
+    output subtract, and the -nd*C fixup in the delta-sum emit.
+    Measured wall-clock is unchanged (28.5 vs 28.8 ms vertical, 16.3 vs
+    15.9 ms hT at 4K x 128 — the kernels sit on the serial carry-chain
+    latency, not ALU count; a butterfly renorm variant measured 2x
+    SLOWER than Mosaic's native lane reduce, tools/micro_sweep.py), so
+    this form is kept for the shorter dependency graph and the direct
+    delta emit. Bit-exact vs the raw form: subtracting min_prev from
+    every min() operand is an identity, and all values are integers
+    < 2^24 so f32 arithmetic is exact.
+
+    The d±1 neighbor shifts use lane rotates + iota masking: Mosaic
+    lowers these natively, whereas lane-axis concatenates hit
+    layout-offset restrictions (and cost a relayout)."""
+    D = lam.shape[-1]
+    big = jnp.asarray(BIG, lam.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, lam.shape, lam.ndim - 1)
     # Static np.int32 shifts: a Python int lowers as i64 under
     # jax_enable_x64 and a traced jnp.int32 breaks Mosaic legalization —
     # a numpy scalar stays a static 32-bit constant in both modes.
     up = jnp.where(
-        lane == D - 1, big, pltpu.roll(prev, np.int32(D - 1), prev.ndim - 1)
+        lane == D - 1, big, pltpu.roll(lam, np.int32(D - 1), lam.ndim - 1)
     )
-    dn = jnp.where(lane == 0, big, pltpu.roll(prev, np.int32(1), prev.ndim - 1))
-    min_prev = jnp.min(prev, axis=-1, keepdims=True)
-    best = jnp.minimum(jnp.minimum(prev, min_prev + p2), jnp.minimum(up, dn) + p1)
-    return cost + best - min_prev
+    dn = jnp.where(lane == 0, big, pltpu.roll(lam, np.int32(1), lam.ndim - 1))
+    p2v = jnp.asarray(p2, lam.dtype)
+    return jnp.minimum(jnp.minimum(lam, p2v), jnp.minimum(up, dn) + p1)
+
+
+def _renorm(cost: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Next normalized carry: Λ' = (C + delta) - min_d (C + delta)."""
+    t = cost + delta
+    return t - jnp.min(t, axis=-1, keepdims=True)
 
 
 def _shift_w(a: jnp.ndarray, shift: int) -> jnp.ndarray:
@@ -129,12 +149,15 @@ def _vertical_kernel(c_ref, ds_ref, cu, cul, cur, *, p1, p2, reverse, rows):
     order = range(rows - 1, -1, -1) if reverse else range(rows)
     for k in order:
         c = c_ref[k].astype(jnp.float32)  # (W, D); C stored int16/int32
-        vu = _sgm_update(vu, c, p1, p2)
+        bu = _sgm_delta(vu, p1, p2)
         # UL: predecessor is (x-1, y-1) -> carry'[x] = carry[x-1].
-        vul = _sgm_update(_shift_w(vul, -1), c, p1, p2)
+        bul = _sgm_delta(_shift_w(vul, -1), p1, p2)
         # UR: predecessor is (x+1, y-1).
-        vur = _sgm_update(_shift_w(vur, +1), c, p1, p2)
-        ds_ref[k] = _store_u16(vu + vul + vur - 3.0 * c)
+        bur = _sgm_delta(_shift_w(vur, +1), p1, p2)
+        ds_ref[k] = _store_u16(bu + bul + bur)
+        vu = _renorm(c, bu)
+        vul = _renorm(c, bul)
+        vur = _renorm(c, bur)
     cu[...] = vu
     cul[...] = vul
     cur[...] = vur
@@ -203,11 +226,13 @@ def _vertical_tiled_kernel(
         cl = jnp.where(zero_l, 0, cl_ref[k].astype(jnp.int32)).astype(jnp.float32)
         cr = jnp.where(zero_r, 0, cr_ref[k].astype(jnp.int32)).astype(jnp.float32)
         c = jnp.concatenate([cl, c_ref[k].astype(jnp.float32), cr], axis=0)
-        vu = _sgm_update(vu, c, p1, p2)
-        vul = _sgm_update(_shift_w(vul, -1), c, p1, p2)
-        vur = _sgm_update(_shift_w(vur, +1), c, p1, p2)
-        total = (vu + vul + vur - 3.0 * c)[HB : HB + WT]
-        ds_ref[k] = _store_u16(total)
+        bu = _sgm_delta(vu, p1, p2)
+        bul = _sgm_delta(_shift_w(vul, -1), p1, p2)
+        bur = _sgm_delta(_shift_w(vur, +1), p1, p2)
+        ds_ref[k] = _store_u16((bu + bul + bur)[HB : HB + WT])
+        vu = _renorm(c, bu)
+        vul = _renorm(c, bul)
+        vur = _renorm(c, bur)
     wslot = pl.ds(base + np.int32(HB), WT)
     cu[wslot] = vu[HB : HB + WT]
     cul[wslot] = vul[HB : HB + WT]
@@ -302,8 +327,8 @@ def _horizontal_kernel(c_ref, *rest, p1, p2, reverse, accumulate):
     order = range(COLS - 1, -1, -1) if reverse else range(COLS)
     for k in order:
         c = c_ref[:, k, :].astype(jnp.float32)  # (Ht, D)
-        cur = _sgm_update(cur, c, p1, p2)
-        delta = cur - c
+        delta = _sgm_delta(cur, p1, p2)
+        cur = _renorm(c, delta)
         if accumulate:
             delta = delta + _load_u16_f32(ds_in_ref[:, k, :])
         ds_out_ref[:, k, :] = _store_u16(delta)
@@ -329,8 +354,8 @@ def _hT_kernel(c_ref, *rest, p1, p2, reverse, accumulate, WCOLS):
     order = range(WCOLS - 1, -1, -1) if reverse else range(WCOLS)
     for k in order:
         c = c_ref[k].astype(jnp.float32)  # (Ht, D)
-        cur = _sgm_update(cur, c, p1, p2)
-        delta = cur - c
+        delta = _sgm_delta(cur, p1, p2)
+        cur = _renorm(c, delta)
         if accumulate:
             delta = delta + _load_u16_f32(ds_in_ref[k])
         ds_out_ref[k] = _store_u16(delta)
@@ -416,8 +441,9 @@ def _hT_wta_kernel(c_ref, *rest, p1, p2, nd, uniqueness_ratio, min_disp,
     d_iota = None
     for k in range(WCOLS - 1, -1, -1):  # reverse path order
         c = c_ref[k].astype(jnp.float32)  # (Ht, D)
-        cur = _sgm_update(cur, c, p1, p2)
-        S = (cur - c) + _load_u16_f32(ds_in_ref[k]) + np.float32(nd) * c
+        delta = _sgm_delta(cur, p1, p2)
+        cur = _renorm(c, delta)
+        S = delta + _load_u16_f32(ds_in_ref[k]) + np.float32(nd) * c
         if other_ref is not None:
             S = S + _load_u16_f32(other_ref[k])
         S = S.astype(jnp.int32)  # exact: every term integral, < 2^24

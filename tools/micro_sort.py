@@ -36,12 +36,15 @@ def main():
     lab, perm, bits, table = jax.device_put((lab, perm, bits, table))
     jax.block_until_ready((lab, perm, bits, table))
 
+    # Every case must DEPEND on the chained first argument `l` (timed_chain
+    # perturbs only arg 0) or XLA computes it once and CSEs the chain — the
+    # scatter case measured a bogus 8 ms that way (real: ~52 ms).
     cases = {
         "sort_1op": lambda l, p, b, t: jax.lax.sort(l),
         "sort_key_payload": lambda l, p, b, t: jax.lax.sort((l, p), num_keys=1)[0],
         "gather_table": lambda l, p, b, t: t[l],
-        "scatter_set_perm": lambda l, p, b, t: jnp.zeros(N, jnp.int32).at[p].set(b),
-        "cumsum": lambda l, p, b, t: jnp.cumsum(b),
+        "scatter_set_perm": lambda l, p, b, t: jnp.zeros(N, jnp.int32).at[p].set(l & 1),
+        "cumsum": lambda l, p, b, t: jnp.cumsum(l & 1),
         "cummax": lambda l, p, b, t: jax.lax.cummax(l),
     }
     for name, fn in cases.items():

@@ -1,15 +1,15 @@
 """Microbenchmark: SGM sweep inner-update variants (tools/, not shipped).
 
 The r3 4K/128 profile: vertical triple 28.7 ms, hT 11.1 ms/dir — both
-VPU-issue-bound (~1 T op/s). The big per-cell cost candidates inside
-_sgm_update: the cross-lane jnp.min reduce and the two edge-mask selects.
-Variants: butterfly (replicated) min, hoisted edge masks.
+VPU-issue-bound (~1 T op/s). r3 carries are Λ-normalized (_sgm_delta +
+_renorm); the remaining per-cell cost candidates: the cross-lane jnp.min
+reduce inside _renorm (vs an explicit butterfly) and the two edge-mask
+selects.
 
 Usage: python tools/micro_sweep.py [D] [variant,variant,...]
 variants: shipped_vert, shipped_ht, vert_bfly, ht_bfly
 """
 
-import functools
 import os
 import sys
 
@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
+from jax.experimental import pallas as pl  # noqa: F401 (kernel variants)
 from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -31,21 +31,16 @@ from stereo_reconstruction_cv_tpu.utils.timing import timed_chain
 P1, P2 = 2904.0, 11616.0
 
 
-def _sgm_update_bfly(prev, cost, p1, p2):
-    """_sgm_update with the min reduce as a butterfly (replicated min)."""
-    D = prev.shape[-1]
-    big = jnp.asarray(SP.BIG, prev.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
-    up = jnp.where(lane == D - 1, big,
-                   pltpu.roll(prev, np.int32(D - 1), prev.ndim - 1))
-    dn = jnp.where(lane == 0, big, pltpu.roll(prev, np.int32(1), prev.ndim - 1))
-    m = prev
+def _renorm_bfly(cost, delta):
+    """_renorm with the min reduce as a butterfly (replicated min)."""
+    t = cost + delta
+    D = t.shape[-1]
+    m = t
     s = 1
     while s < D:
         m = jnp.minimum(m, pltpu.roll(m, np.int32(s), m.ndim - 1))
         s *= 2
-    best = jnp.minimum(jnp.minimum(prev, m + p2), jnp.minimum(up, dn) + p1)
-    return cost + best - m
+    return t - m
 
 
 def main():
@@ -66,18 +61,18 @@ def main():
         except Exception as e:
             print(f"{label}: FAIL {type(e).__name__}: {e}"[:200], flush=True)
 
-    orig_update = SP._sgm_update
+    orig_renorm = SP._renorm
     for w in which:
         if w == "shipped_vert":
             t(lambda c: SP._vertical_sweep_auto(c, P1, P2, False, False),
               "vertical shipped", C)
         elif w == "vert_bfly":
-            SP._sgm_update = _sgm_update_bfly
+            SP._renorm = _renorm_bfly
             try:
                 t(lambda c: SP._vertical_sweep_auto(c, P1, P2, False, False),
-                  "vertical bfly-min", C)
+                  "vertical bfly-renorm", C)
             finally:
-                SP._sgm_update = orig_update
+                SP._renorm = orig_renorm
         elif w == "shipped_ht":
             CT = jnp.swapaxes(C, 0, 1)
             CT.block_until_ready()
@@ -86,12 +81,12 @@ def main():
         elif w == "ht_bfly":
             CT = jnp.swapaxes(C, 0, 1)
             CT.block_until_ready()
-            SP._sgm_update = _sgm_update_bfly
+            SP._renorm = _renorm_bfly
             try:
                 t(lambda ct: SP._sweep_hT(ct, None, P1, P2, False, False,
-                                          accumulate=False), "hT bfly-min", CT)
+                                          accumulate=False), "hT bfly-renorm", CT)
             finally:
-                SP._sgm_update = orig_update
+                SP._renorm = orig_renorm
 
 
 if __name__ == "__main__":

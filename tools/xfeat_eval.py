@@ -46,17 +46,20 @@ def _pose_metrics(out, with_anchor=False):
     return m
 
 
-def main(checkpoint="checkpoints/xfeat_v1", out_path="docs/XFEAT_EVAL.json"):
+def main(checkpoint=None, out_path="docs/XFEAT_EVAL.json"):
+    import glob
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from stereo_reconstruction_cv_tpu.pipeline import stages
 
-    if not os.path.isdir(checkpoint):
-        alt = "checkpoints/xfeat_v0"
-        print(f"checkpoint {checkpoint!r} missing; falling back to {alt}")
-        checkpoint = alt
+    if checkpoint is None or not os.path.isdir(checkpoint):
+        # Same "latest shipped" rule as cli.py / benchmarks.py.
+        cands = sorted(glob.glob("checkpoints/xfeat_v*"))
+        assert cands, "no shipped checkpoints"
+        checkpoint = cands[-1]
     report = {"checkpoint": checkpoint, "pairs": {}}
     for d in ("d1", "d2", "d3"):
         folder = f"/root/reference/dataset/{d}"
