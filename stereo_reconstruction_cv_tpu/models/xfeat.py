@@ -245,12 +245,21 @@ def _cell_centers(Hc: int, Wc: int) -> jnp.ndarray:
     return jnp.stack([gx, gy], axis=-1)  # (Hc, Wc, 2)
 
 
-def _cells_loss(da_i, db_i, la_i, lb_i, ra_i, pb, valid_in):
+def _cells_loss(da_i, db_i, la_i, lb_i, ra_i, pb, valid_in,
+                bank=None, bank_offset=0):
     """Cell-correspondence loss for one A/B pair given, for every A cell
     center, its position `pb` (Hc, Wc, 2) in image B and a validity mask.
     Shared by the homography-warp and the stereo-disparity supervision
     paths (InfoNCE descriptors + keypoint-heatmap consistency +
-    reliability-tracks-correctness)."""
+    reliability-tracks-correctness).
+
+    bank: optional (M, D) descriptor bank replacing db_i as the InfoNCE
+    negative pool (db_i's cells sit at rows bank_offset..bank_offset+N).
+    A full-image match at 1080p ranks ~15k cells; training against only
+    the 1024 cells of a 256-crop left v2's descriptors unable to
+    separate that many distractors (4-9%% keypoint-match true rate on
+    synthetic warps) — cross-batch banks restore inference-difficulty
+    negatives."""
     Hc, Wc = da_i.shape[:2]
     cb = jnp.round(pb / CELL - 0.5).astype(jnp.int32)
     valid = (
@@ -263,7 +272,8 @@ def _cells_loss(da_i, db_i, la_i, lb_i, ra_i, pb, valid_in):
     # InfoNCE: A cell descriptor should match its B counterpart.
     a = da_i.reshape(-1, da_i.shape[-1])  # (N, D)
     pos = db_i[cby, cbx].reshape(-1, da_i.shape[-1])
-    logits = a @ db_i.reshape(-1, da_i.shape[-1]).T / 0.1  # (N, M)
+    neg = db_i.reshape(-1, da_i.shape[-1]) if bank is None else bank
+    logits = a @ neg.T / 0.1  # (N, M)
     pos_sim = jnp.sum(a * pos, axis=-1) / 0.1
     lse = jax.nn.logsumexp(logits, axis=-1)
     nce = (lse - pos_sim) * valid.ravel()
@@ -274,35 +284,103 @@ def _cells_loss(da_i, db_i, la_i, lb_i, ra_i, pb, valid_in):
     pb_at_a = pb_map[cby, cbx]
     kpt_loss = jnp.sum(((pa - pb_at_a) ** 2) * valid) / (jnp.sum(valid) + 1e-6)
     # Reliability should track descriptor correctness (stop-grad target).
+    pos_idx = (cby * Wc + cbx).ravel() + bank_offset
     correct = jax.lax.stop_gradient(
-        (jnp.argmax(logits, axis=-1) == (cby * Wc + cbx).ravel()).astype(jnp.float32)
+        (jnp.argmax(logits, axis=-1) == pos_idx).astype(jnp.float32)
     )
     rel_loss = jnp.mean((ra_i.ravel() - correct) ** 2 * valid.ravel())
     return desc_loss + kpt_loss + 0.5 * rel_loss
 
 
-def xfeat_loss(params, model: XFeatNet, imgs: jnp.ndarray, key) -> jnp.ndarray:
-    """Self-supervised homography loss over grayscale images (B, H, W)."""
+# ---------------------------------------------------------------------------
+# Keypoint teacher: the framework's own classical corner response
+# ---------------------------------------------------------------------------
+
+def harris_cell_targets(imgs: jnp.ndarray, dustbin_rel: float = 0.02):
+    """Per-cell keypoint targets from the classical Harris response.
+
+    imgs: (B, H, W) in [0, 255]. Returns (targets (B, Hc, Wc) int32 in
+    [0, 64] — the in-cell argmax position, 64 = dustbin for flat cells —
+    and the response maps for debugging).
+
+    WHY: the consistency term alone is minimized by a CONSTANT heatmap,
+    which makes top-k keypoint selection non-repeatable noise — the r3
+    diagnosis of the learned path's 4-9% synthetic-warp match rate (cell
+    -level descriptor accuracy was 25-70% while keypoint matching
+    collapsed). Distilling the keypoint head from the framework's own
+    corner detector (ops/features._harris — the same role ALIKE plays
+    for upstream XFeat) anchors peaks at repeatable, view-covariant
+    corners. Self-contained: no external data or teacher network."""
+    from stereo_reconstruction_cv_tpu.ops.features import _harris
+
     B, H, W = imgs.shape
-    keys = jax.random.split(key, B)
+    Hc, Wc = H // CELL, W // CELL
+    resp = jax.vmap(_harris)(imgs.astype(jnp.float32) / 255.0)
+    cells = resp.reshape(B, Hc, CELL, Wc, CELL).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(B, Hc, Wc, CELL * CELL)
+    pos = jnp.argmax(cells, axis=-1).astype(jnp.int32)
+    cmax = jnp.max(cells, axis=-1)
+    # Per-image dustbin threshold: a fixed fraction of the crop's peak
+    # response (Harris is quartic in contrast, so absolute thresholds
+    # don't transfer across crops).
+    thr = dustbin_rel * jnp.max(cmax, axis=(1, 2), keepdims=True)
+    targets = jnp.where(cmax > thr, pos, jnp.int32(CELL * CELL))
+    return targets, resp
+
+
+def _kpt_teacher_ce(logits, targets, valid=None):
+    """Cross-entropy of the 65-way cell logits against teacher targets."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if valid is None:
+        return jnp.mean(ce)
+    return jnp.sum(ce * valid) / (jnp.sum(valid) + 1e-6)
+
+
+def xfeat_loss(params, model: XFeatNet, imgs: jnp.ndarray, key) -> jnp.ndarray:
+    """Self-supervised homography loss over grayscale images (B, H, W):
+    descriptor InfoNCE against a CROSS-BATCH negative bank, heatmap
+    consistency, reliability regression, plus the classical-corner
+    keypoint teacher (harris_cell_targets) on both views. The warped
+    view gets its OWN photometric jitter — real pairs differ in
+    exposure, and v2 (same-jitter both views) never saw that."""
+    B, H, W = imgs.shape
+    allk = jax.random.split(key, B + 2)
+    keys, kj1, kj2 = allk[:B], allk[B], allk[B + 1]
     Hms = jax.vmap(lambda k: random_homography(k, H, W))(keys)
     warped = jax.vmap(warp_image)(imgs.astype(jnp.float32), Hms)
+    gain = jax.random.uniform(kj1, (B, 1, 1), minval=0.75, maxval=1.3)
+    bias = jax.random.uniform(kj2, (B, 1, 1), minval=-18.0, maxval=18.0)
+    warped = jnp.clip(warped * gain + bias, 0.0, 255.0)
+    # Warp coverage: cells of B whose 8x8 footprint includes out-of-image
+    # samples get dustbin teacher targets (the zero border paints strong
+    # artificial corners there).
+    cover = jax.vmap(warp_image)(jnp.ones_like(imgs, jnp.float32), Hms)
     xa = (imgs.astype(jnp.float32) / 255.0)[..., None]
     xb = (warped / 255.0)[..., None]
     la, da, ra = model.apply(params, xa)
     lb, db, rb = model.apply(params, xb)
     Hc, Wc = da.shape[1:3]
+    N = Hc * Wc
     centers = _cell_centers(Hc, Wc)  # (Hc, Wc, 2) in image A
+    bank = db.reshape(B * N, db.shape[-1])
 
-    def per_image(Hm, da_i, db_i, la_i, lb_i, ra_i):
+    def per_image(i, Hm, da_i, db_i, la_i, lb_i, ra_i):
         ch = jnp.concatenate([centers, jnp.ones_like(centers[..., :1])], axis=-1)
         pb = ch @ Hm.T
         pb = pb[..., :2] / pb[..., 2:3]
         return _cells_loss(da_i, db_i, la_i, lb_i, ra_i, pb,
-                           jnp.ones(pb.shape[:2], bool))
+                           jnp.ones(pb.shape[:2], bool),
+                           bank=bank, bank_offset=i * N)
 
-    losses = jax.vmap(per_image)(Hms, da, db, la, lb, ra)
-    return jnp.mean(losses)
+    losses = jax.vmap(per_image)(jnp.arange(B), Hms, da, db, la, lb, ra)
+    # Keypoint teacher on both views (each view's own corners).
+    ta, _ = harris_cell_targets(imgs.astype(jnp.float32))
+    tb, _ = harris_cell_targets(warped)
+    cov_cells = cover.reshape(B, Hc, CELL, Wc, CELL).min((2, 4)) > 0.999
+    tb = jnp.where(cov_cells, tb, jnp.int32(CELL * CELL))
+    kpt_ce = _kpt_teacher_ce(la, ta) + _kpt_teacher_ce(lb, tb)
+    return jnp.mean(losses) + 0.5 * kpt_ce
 
 
 def xfeat_stereo_loss(params, model: XFeatNet, imgsA: jnp.ndarray,
@@ -336,7 +414,12 @@ def xfeat_stereo_loss(params, model: XFeatNet, imgsA: jnp.ndarray,
         return _cells_loss(da_i, db_i, la_i, lb_i, ra_i, pb, v_at)
 
     losses = jax.vmap(per_pair)(da, db, la, lb, ra, disp, dvalid)
-    return jnp.mean(losses)
+    # Classical-corner keypoint teacher on both real views (see
+    # harris_cell_targets for why consistency alone is degenerate).
+    ta, _ = harris_cell_targets(imgsA.astype(jnp.float32))
+    tb, _ = harris_cell_targets(imgsB.astype(jnp.float32))
+    kpt_ce = _kpt_teacher_ce(la, ta) + _kpt_teacher_ce(lb, tb)
+    return jnp.mean(losses) + 0.5 * kpt_ce
 
 
 class TrainState(NamedTuple):

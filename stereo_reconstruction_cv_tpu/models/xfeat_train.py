@@ -78,7 +78,7 @@ def _device_batch(pool, key, batch: int, crop: int):
 
 
 def build_stereo_pool(datasets=("d1", "d2", "d3"), width: int = 1280,
-                      ndisp: int = 64):
+                      ndisp: int = 64, cache_dir: str = "checkpoints"):
     """Rectified stereo quadruples for cross-view supervision: for each
     bundled pair, estimate geometry + rectify with the classical
     pipeline, box-downscale to <= `width`, and run the exact SGBM to get
@@ -87,8 +87,17 @@ def build_stereo_pool(datasets=("d1", "d2", "d3"), width: int = 1280,
 
     The labels are the framework's own cv2-gated stereo output — the
     learned matcher is bootstrapped by classical geometry, not external
-    data (see xfeat.xfeat_stereo_loss)."""
+    data (see xfeat.xfeat_stereo_loss).
+
+    Cached to {cache_dir}/stereo_pool_{width}_{ndisp}.npz: the build runs
+    the full classical pipeline on three pairs (~tens of minutes of
+    remote-relay compiles on the dev TPU) and is deterministic."""
     import jax.numpy as jnp
+
+    cache = os.path.join(cache_dir, f"stereo_pool_{width}_{ndisp}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return tuple(jnp.asarray(z[k]) for k in ("L", "R", "D", "V"))
 
     from stereo_reconstruction_cv_tpu.config import SGBMConfig
     from stereo_reconstruction_cv_tpu.ops import disparity as DP
@@ -124,8 +133,11 @@ def build_stereo_pool(datasets=("d1", "d2", "d3"), width: int = 1280,
         return None
     Hs = min(q[0].shape[0] for q in quads)
     Ws = min(q[0].shape[1] for q in quads)
-    stack = lambda i: jnp.asarray(np.stack([q[i][:Hs, :Ws] for q in quads]))
-    return stack(0), stack(1), stack(2), stack(3)
+    stack_np = lambda i: np.stack([q[i][:Hs, :Ws] for q in quads])
+    arrs = {k: stack_np(i) for i, k in enumerate(("L", "R", "D", "V"))}
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez_compressed(cache, **arrs)
+    return tuple(jnp.asarray(arrs[k]) for k in ("L", "R", "D", "V"))
 
 
 def _stereo_batch(pool, key, batch: int, crop: int):
@@ -188,6 +200,13 @@ def train(
 
     from stereo_reconstruction_cv_tpu.models import checkpoint as CK
     from stereo_reconstruction_cv_tpu.models import xfeat as XF
+
+    # Persistent compile cache: the stereo-pool build + train step cost
+    # minutes of remote-relay compiles on the dev TPU without it.
+    if not jax.config.read("jax_compilation_cache_dir"):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     imgs = load_training_images(folders, max_images=max_images)
     # Images smaller than the crop can neither be cropped nor reflect-padded

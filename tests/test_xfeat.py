@@ -59,6 +59,21 @@ class TestTraining:
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.8, losses[::10]
 
+    def test_harris_teacher_targets(self, rng):
+        """The keypoint teacher puts a corner cell's target at the corner
+        and sends flat cells to the dustbin (r3: consistency-only training
+        left the heatmap flat and keypoints non-repeatable)."""
+        img = np.zeros((64, 64), np.float32)
+        img[16:, 16:] = 200.0  # one strong corner at (16, 16): cell (2, 2)
+        t, resp = XF.harris_cell_targets(jnp.asarray(img)[None])
+        t = np.asarray(t[0])
+        assert t[2, 2] != 64  # corner cell has a real target position
+        assert t[0, 0] == 64  # flat cell -> dustbin
+        # in-cell position of the corner target is the corner pixel area
+        py, px = divmod(int(t[2, 2]), XF.CELL)
+        assert abs((2 * XF.CELL + py) - 16) <= 2
+        assert abs((2 * XF.CELL + px) - 16) <= 2
+
     def test_trained_descriptors_match_under_warp(self, model, rng):
         """After brief training, corresponding cells should be mutual NNs."""
         state, tx = XF.create_train_state(jax.random.PRNGKey(1), model, (64, 96))
