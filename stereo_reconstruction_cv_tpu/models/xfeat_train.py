@@ -203,7 +203,7 @@ def train(
 
     # Persistent compile cache: the stereo-pool build + train step cost
     # minutes of remote-relay compiles on the dev TPU without it.
-    if not jax.config.read("jax_compilation_cache_dir"):
+    if not jax.config.jax_compilation_cache_dir:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--disp", type=int, default=256)
     ap.add_argument("--dirs", type=int, default=5)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--size", default=None,
+                    help="WxH resize (e.g. 1280x720); default native 4K")
+    ap.add_argument("--out", default=None, help="output json path")
     args = ap.parse_args()
 
     jax = B._setup_jax()
@@ -41,7 +44,11 @@ def main():
     from stereo_reconstruction_cv_tpu.ops.pallas.cost_pallas import cost_volume_pallas
     from stereo_reconstruction_cv_tpu.ops.pallas.lr_pallas import lr_check_maps_pallas
 
-    imL, imR = B._load_pair("d1")
+    size = None
+    if args.size:
+        w, h = (int(v) for v in args.size.lower().split("x"))
+        size = (w, h)
+    imL, imR = B._load_pair("d1", size)
     H, W = imL.shape
     D = args.disp
     K, geo = B._rectified_geometry((W, H), D)
@@ -55,7 +62,8 @@ def main():
     out = {"shape": [H, W], "num_disp": D, "num_dirs": args.dirs, "iters": it,
            "rtt_ms": round(rtt() * 1e3, 2), "timing": "chained (utils/timing.py)"}
 
-    _path = os.path.join(os.path.dirname(__file__), "..", "docs", "PROFILE_4K.json")
+    _path = args.out or os.path.join(
+        os.path.dirname(__file__), "..", "docs", "PROFILE_4K.json")
 
     def flush():
         os.makedirs(os.path.dirname(_path), exist_ok=True)
