@@ -488,7 +488,10 @@ def speckle_filter(
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         # All doubling levels of a flood inside VMEM: one HBM round-trip
-        # per axis per round vs ~log2(n) for the XLA pad/shift chain.
+        # per axis per round vs ~log2(n) for the XLA pad/shift chain. The
+        # kernels also emit the change flag in-register (monotone floods:
+        # round changed <=> row pass or col pass changed), replacing the
+        # separate full-frame any(new != lab) pass per round.
         from stereo_reconstruction_cv_tpu.ops.pallas.speckle_pallas import (
             flood_round_pallas,
         )
@@ -498,8 +501,9 @@ def speckle_filter(
         one_round = lambda lab: flood_round_pallas(lab, ch_i, cv_i)
     else:
         def one_round(lab):
-            lab = _seg_min_flood(lab, ch, axis=1, big=big)
-            return _seg_min_flood(lab, cv, axis=0, big=big)
+            new = _seg_min_flood(lab, ch, axis=1, big=big)
+            new = _seg_min_flood(new, cv, axis=0, big=big)
+            return new, jnp.any(new != lab)
 
     def cond(state):
         _, changed, i = state
@@ -507,16 +511,14 @@ def speckle_filter(
 
     def body(state):
         # One round per convergence test: real 4K maps converge in ~24
-        # alternation rounds and the any(new != lab) check is cheap next
-        # to a flood round — batching 2 rounds per check measured SLOWER
+        # alternation rounds — batching 2 rounds per check measured SLOWER
         # (22.1 vs 20.0 ms, tools/micro_speckle.py).
         lab, _, i = state
-        new = one_round(lab)
-        return new, jnp.any(new != lab), i + 1
+        new, changed = one_round(lab)
+        return new, changed, i + 1
 
-    lab, _, _ = jax.lax.while_loop(
-        cond, body, (one_round(lab0), jnp.bool_(True), jnp.int32(1))
-    )
+    lab0r, chg0 = one_round(lab0)
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab0r, chg0, jnp.int32(1)))
     if use_pallas:
         keep_bit = _component_keep_sort(lab, max_speckle_size)
         return valid & keep_bit

@@ -365,31 +365,39 @@ def _hT_kernel(c_ref, *rest, p1, p2, reverse, accumulate, WCOLS):
 def _wta_cell(S, d_iota, D, uniqueness_ratio, min_disp):
     """WTA on one i32 (..., D) block: returns the 4-field packed f32 block
     (disp, uniq-valid, best, minS in lanes 0..3). Shared by the standalone
-    _wta_kernel and the fused hT+WTA sweep."""
-    big_i = np.int32(1 << 30)
-    # min AND argmin in ONE butterfly over packed keys S*Dp + d: S >= 0
-    # and S <= 8*(22869 + 11616) = 275,880, so the key fits int32 up to
-    # Dp = 256; ties break toward the smaller d automatically — exactly
-    # jnp.argmin's first-index rule.
+    _wta_kernel and the fused hT+WTA sweep.
+
+    min AND argmin come from ONE butterfly over packed keys S*Dp + d:
+    S >= 0 and S <= 8*(22869 + 11616) = 275,880, so the key fits int32 up
+    to Dp = 256; ties break toward the smaller d automatically — exactly
+    jnp.argmin's first-index rule.
+
+    Uniqueness (cv2): invalid if some d with |d - best| > 1 has
+    S[d]*(100 - ratio) < minS*100. Instead of a second min-butterfly over
+    the far lanes (log2(D) rotate+min pairs — this kernel is VPU-issue
+    bound), COUNT the qualifying lanes on the MXU and subtract the window
+    lanes' own contributions:
+
+        count_far = count_all - [minS > 0]            (d = best: S*k <
+                    minS*100 <=> -ratio*minS < 0)
+                    - (best > 0) * qual(S[best-1])
+                    - (best < D-1) * qual(S[best+1])
+        bad       = count_far > 0
+
+    The indicator row rides the SAME stacked MXU dot as the subpixel
+    neighbor extractions (exact: 0/1 indicators sum to <= D < 2^24; the
+    masked S rows have a single nonzero term <= 2^19)."""
     Dp = 1
+    lg = 0
     while Dp < D:
         Dp *= 2
+        lg += 1
     packed_key = _butterfly_min(S * np.int32(Dp) + d_iota, D)
-    minS = packed_key // np.int32(Dp)
-    best = packed_key - minS * np.int32(Dp)
-    # Uniqueness (cv2): invalid if some d with |d - best| > 1 has
-    # S[d]*(100 - ratio) < minS*100  <=>  the min over far lanes does.
-    # ratio == 0 can never fail (mfar >= minS) — skip the 2nd butterfly.
-    if uniqueness_ratio > 0:
-        far = jnp.abs(d_iota - best) > 1
-        mfar = _butterfly_min(jnp.where(far, S, big_i), D)
-        bad = mfar * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)
-    else:
-        bad = jnp.zeros_like(best, jnp.bool_)
-    # Subpixel neighbors: exactly one lane matches -> sum == extract. The
-    # sums run as MXU dot-products against a ones vector (exact: a single
-    # nonzero f32 term <= 2^19), freeing the VPU for the min butterflies —
-    # the kernel is VPU-issue-bound.
+    # Power-of-two decode as shift/mask (keys are non-negative).
+    minS = jax.lax.shift_right_logical(packed_key, np.int32(lg))
+    best = packed_key & np.int32(Dp - 1)
+    k_uniq = np.int32(100 - uniqueness_ratio)
+    # Subpixel neighbors: exactly one lane matches -> sum == extract.
     m1mask = jnp.where(d_iota == jnp.maximum(best - 1, 0), S, 0)
     p1mask = jnp.where(d_iota == jnp.minimum(best + 1, np.int32(D - 1)), S, 0)
     lead = S.shape[:-1]
@@ -397,13 +405,26 @@ def _wta_cell(S, d_iota, D, uniqueness_ratio, min_disp):
     for v in lead:
         n *= v
     ones = jnp.ones((D, 8), jnp.float32)
-    stacked = jnp.concatenate([m1mask, p1mask], axis=0).astype(jnp.float32)
+    rows = [m1mask, p1mask]
+    if uniqueness_ratio > 0:
+        rows.append((S * k_uniq < minS * np.int32(100)).astype(jnp.int32))
+    stacked = jnp.concatenate(rows, axis=0).astype(jnp.float32)
+    nr = len(rows)
     dots = jax.lax.dot_general(
-        stacked.reshape(2 * n, D), ones, (((1,), (0,)), ((), ())),
+        stacked.reshape(nr * n, D), ones, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
-    ).reshape((2,) + lead + (8,))
+    ).reshape((nr,) + lead + (8,))
     Sm1 = dots[0][..., :1].astype(jnp.int32)
     Sp1 = dots[1][..., :1].astype(jnp.int32)
+    if uniqueness_ratio > 0:
+        count_all = dots[2][..., :1].astype(jnp.int32)
+        qm1 = (Sm1 * k_uniq < minS * np.int32(100)) & (best > 0)
+        qp1 = (Sp1 * k_uniq < minS * np.int32(100)) & (best < D - 1)
+        count_far = (count_all - (minS > 0).astype(jnp.int32)
+                     - qm1.astype(jnp.int32) - qp1.astype(jnp.int32))
+        bad = count_far > 0
+    else:
+        bad = jnp.zeros_like(minS, jnp.bool_)
     denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
     frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
     interior = (best > 0) & (best < D - 1)
@@ -411,9 +432,11 @@ def _wta_cell(S, d_iota, D, uniqueness_ratio, min_disp):
             + np.float32(min_disp))
     f = jnp.float32
     fields = (disp, 1.0 - bad.astype(f), best.astype(f), minS.astype(f))
+    # Nested selects (4 ops) instead of 4 select+add pairs (8): the lane
+    # masks d_iota == li are loop-invariant constants.
     packed = jnp.zeros(S.shape, f)
-    for li, v in enumerate(fields):
-        packed = packed + jnp.where(d_iota == li, v.astype(f), 0.0)
+    for li, v in reversed(tuple(enumerate(fields))):
+        packed = jnp.where(d_iota == li, v.astype(f), packed)
     return packed[..., :8]
 
 
@@ -423,10 +446,12 @@ def _hT_wta_kernel(c_ref, *rest, p1, p2, nd, uniqueness_ratio, min_disp,
 
     The last sweep's aggregated column S = nd*C + ds_in + (L_R - C)
     [+ ds_other in 8-dir mode] is reduced in-register: the final delta
-    volume never reaches HBM, and the WTA work (butterflies + one small
-    MXU dot per column) fills the VPU bubbles the serial DP carry chain
-    leaves — measured ~0.4x the cost of a separate elementwise WTA pass
-    at 4K x 128 (tools/micro_wta.py, r3)."""
+    volume never reaches HBM. The WTA runs inline per column — a deferred
+    variant that stacked the block's WCOLS S columns and ran one batched
+    WTA after the carry loop forced the row tile from 488 down to ~216
+    (the stacked i32 block + WTA temporaries hit the 16 MB Mosaic stack)
+    and measured SLOWER overall (82.8 vs 73.8 ms at 4K x 128/8-dir, r3):
+    tile size dominates the batching win."""
     if len(rest) == 4:  # 8-dir: second accumulated delta volume rides along
         ds_in_ref, other_ref, out_ref, carry = rest
     else:

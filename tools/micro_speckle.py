@@ -47,13 +47,15 @@ def speckle_variant(disp, valid, rounds_per_iter, max_diff=32.0, max_rounds=64):
 
     def body(state):
         lab, _, i = state
-        new = lab
+        new, changed = lab, jnp.bool_(False)
         for _ in range(rounds_per_iter):
-            new = one_round(new)
-        return new, jnp.any(new != lab), i + rounds_per_iter
+            new, c = one_round(new)
+            changed |= c
+        return new, changed, i + rounds_per_iter
 
+    lab_init, chg_init = one_round(lab0)
     lab, _, n = jax.lax.while_loop(
-        cond, body, (one_round(lab0), jnp.bool_(True), jnp.int32(1))
+        cond, body, (lab_init, chg_init, jnp.int32(1))
     )
     return lab, n
 

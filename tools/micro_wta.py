@@ -29,6 +29,65 @@ from stereo_reconstruction_cv_tpu.ops.pallas import sgm_pallas as SP
 from stereo_reconstruction_cv_tpu.utils.timing import timed_chain
 
 
+def wta_nat(CT, dST_list, uniqueness_ratio, min_disp, BH, BW):
+    """Variant: native cross-lane jnp.min/jnp.sum reductions (keepdims)
+    instead of log-D butterflies, narrow (.., 1)/(.., 8) field math."""
+    Wc, H, D = CT.shape
+    Wp = -(-Wc // BH) * BH
+    Hp = -(-H // BW) * BW
+    if Wp != Wc or Hp != H:
+        pads = ((0, Wp - Wc), (0, Hp - H), (0, 0))
+        CT = jnp.pad(CT, pads)
+        dST_list = [jnp.pad(d, pads) for d in dST_list]
+    spec = pl.BlockSpec((BH, BW, D), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BH, BW, 8), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(c_ref, *rest, nds):
+        ds_refs = rest[:nds]
+        out_ref = rest[nds]
+        nd = 5 if nds == 1 else 8
+        S = c_ref[...].astype(jnp.int32) * np.int32(nd)
+        for ds in ds_refs:
+            S = S + ds[...].astype(jnp.int32)
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, S.shape, S.ndim - 1)
+        big_i = np.int32(1 << 30)
+        Dp = 1
+        while Dp < D:
+            Dp *= 2
+        pk = jnp.min(S * np.int32(Dp) + d_iota, axis=-1, keepdims=True)
+        minS = pk // np.int32(Dp)          # (BH, BW, 1)
+        best = pk - minS * np.int32(Dp)    # (BH, BW, 1)
+        far = jnp.abs(d_iota - best) > 1
+        mfar = jnp.min(jnp.where(far, S, big_i), axis=-1, keepdims=True)
+        bad = mfar * np.int32(100 - uniqueness_ratio) < minS * np.int32(100)
+        Sm1 = jnp.sum(jnp.where(d_iota == jnp.maximum(best - 1, 0), S, 0),
+                      axis=-1, keepdims=True)
+        Sp1 = jnp.sum(jnp.where(d_iota == jnp.minimum(best + 1, np.int32(D - 1)),
+                                S, 0), axis=-1, keepdims=True)
+        denom = jnp.maximum(Sm1 + Sp1 - 2 * minS, 1).astype(jnp.float32)
+        frac = (Sm1 - Sp1).astype(jnp.float32) / (2.0 * denom)
+        interior = (best > 0) & (best < D - 1)
+        disp = (best.astype(jnp.float32) + jnp.where(interior, frac, 0.0)
+                + np.float32(min_disp))
+        f = jnp.float32
+        fields = (disp, 1.0 - bad.astype(f), best.astype(f), minS.astype(f))
+        i8 = jax.lax.broadcasted_iota(jnp.int32, (BH, BW, 8), 2)
+        packed = jnp.zeros((BH, BW, 8), f)
+        for li, v in enumerate(fields):
+            packed = packed + jnp.where(i8 == li, v.astype(f), 0.0)
+        out_ref[...] = packed
+
+    return pl.pallas_call(
+        functools.partial(kernel, nds=len(dST_list)),
+        grid=(Wp // BH, Hp // BW),
+        in_specs=[spec] * (1 + len(dST_list)),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Wp, Hp, 8), jnp.float32),
+    )(CT, *dST_list)
+
+
 def wta_variant(CT, dST_list, uniqueness_ratio, min_disp, BH, BW, use_dot):
     Wc, H, D = CT.shape
     Wp = -(-Wc // BH) * BH
@@ -118,6 +177,16 @@ def main():
             t(lambda c, s: SP._wta_volume(c, [s], 10, 0, False)[0], "shipped BH8 BW128 dot")
         elif w == "shipped2":
             t(lambda c, s: SP._wta_volume(c, [s, s], 10, 0, False)[0], "shipped 2ds")
+        elif w.startswith("nat"):
+            parts = w.split(":")
+            bh, bw = (int(parts[1]), int(parts[2])) if len(parts) == 3 else (8, 512)
+            t(lambda c, s, bh=bh, bw=bw: wta_nat(c, [s], 10, 0, bh, bw)[..., 0],
+              f"nat BH{bh} BW{bw}")
+        elif w.startswith("2nat"):
+            parts = w.split(":")
+            bh, bw = (int(parts[1]), int(parts[2])) if len(parts) == 3 else (8, 512)
+            t(lambda c, s, bh=bh, bw=bw: wta_nat(c, [s, s], 10, 0, bh, bw)[..., 0],
+              f"nat2ds BH{bh} BW{bw}")
         else:
             bh, bw, red = w.split(":")
             bh, bw = int(bh), int(bw)

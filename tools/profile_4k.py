@@ -161,24 +161,26 @@ def main():
     # Final sweep with fused WTA (r3): hT_R's delta volume never reaches
     # HBM; the maps chain back into nothing (tiny outputs).
     nd = args.dirs
-    other = dsaT if nd == 8 else None
 
-    def fused_chain(ct, s0):
+    # `other` must be a jit ARGUMENT: closing over the 2.1 GB volume bakes
+    # it into the program as a constant (hours-long lowering, observed).
+    def fused_chain(ct, s0, other):
         def body(_, acc):
             # acc*0 feeds the input so iterations can't be CSEd away.
             eps = (acc * 0.0).astype(jnp.int32).astype(jnp.uint16)
             outs = SP._sweep_hT_wta(
-                ct, s0 + eps, other, p1f, p2f, nd, 10, 0, False)
+                ct, s0 + eps, other if nd == 8 else None,
+                p1f, p2f, nd, 10, 0, False)
             return acc + sum(jnp.sum(x, dtype=jnp.float32) for x in outs)
         return jax.lax.fori_loop(0, it, body, jnp.float32(0.0))
 
     try:
         fnw = jax.jit(fused_chain)
-        float(np.asarray(fnw(CT, dsaT)))
+        float(np.asarray(fnw(CT, dsaT, dsaT)))
         best_t = float("inf")
         for _ in range(2):
             t0 = _time.perf_counter()
-            float(np.asarray(fnw(CT, dsaT)))
+            float(np.asarray(fnw(CT, dsaT, dsaT)))
             best_t = min(best_t, _time.perf_counter() - t0)
         out["hT_R_wta_fused_ms"] = 1e3 * max(best_t - rtt(), 0.0) / it
     except Exception as e:
