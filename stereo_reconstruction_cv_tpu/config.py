@@ -63,6 +63,14 @@ class MatchConfig:
     # The robust F-LMedS / E-RANSAC stages downstream absorb the extra
     # outliers by design.
     learned_min_cossim: float = 0.5
+    # Guided LK subpixel refinement of learned matches (ops/refine.py):
+    # aligns each right patch to its left patch at full resolution before
+    # the robust stages, restoring the precision the fixed 1.0 px
+    # E-RANSAC gate (gui.py:142) assumes of SIFT's DoG-interpolated
+    # keypoints. Classical path never uses it.
+    lk_refine: bool = True
+    lk_win: int = 7
+    lk_iters: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -416,7 +416,24 @@ def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig, max_dim: int = 2048,
             )
     p1, p2, mask = M.gather_correspondences(fl.keypoints, fr.keypoints, mres)
     s = float(factor)
-    return p1.astype(jnp.float64) * s, p2.astype(jnp.float64) * s, mask, factor
+    p1 = p1.astype(jnp.float64) * s
+    p2 = p2.astype(jnp.float64) * s
+    if method == "learned" and cfg.lk_refine:
+        # Learned keypoints localize to ~0.5-1 px (8-px heatmap cells),
+        # starving the fixed 1.0 px E-RANSAC gate (gui.py:142). LK-align
+        # each right patch to its left patch at FULL resolution: the
+        # refined pair satisfies the epipolar constraint wherever the
+        # left point happens to sit (ops/refine.py).
+        from stereo_reconstruction_cv_tpu.ops.refine import refine_matches_lk
+
+        with _geometry_ctx():
+            p2r, _ = refine_matches_lk(
+                jnp.asarray(imL), jnp.asarray(imR),
+                p1.astype(jnp.float32), p2.astype(jnp.float32),
+                win=cfg.lk_win, iters=cfg.lk_iters,
+            )
+        p2 = p2r.astype(jnp.float64)
+    return p1, p2, mask, factor
 
 
 # ---------------------------------------------------------------------------
