@@ -53,7 +53,6 @@ from jax.experimental.pallas import tpu as pltpu
 # must also stay exactly representable after +P1: 1e7 < 2^24.
 BIG = 1.0e7
 
-
 def _store_u16(x: jnp.ndarray) -> jnp.ndarray:
     """f32 -> u16 via i32: Mosaic has no direct float->unsigned lowering
     (jax pallas/mosaic lowering._convert_helper raises); the value range
@@ -126,7 +125,11 @@ def _vertical_rows(W: int, D: int) -> int:
     f32 update temporaries (12 + 24 B/elem) plus double-buffered
     (rows, W, D) i16-in/u16-out blocks (8 B/elem/row). Calibrated on v5e
     (the f32-S version measured rows=2 at 147k lane elems; 16-bit blocks
-    halve the per-row cost)."""
+    halve the per-row cost). Raising the budget to 56 MB under a lifted
+    Mosaic VMEM cap (bigger tiles, fewer grid steps) measured ~5% SLOWER
+    at 4K/128 (vert 28.4 -> 31.6 ms, fused WTA 67.2 -> 69.1, r3): the
+    fine-grained small-block pipeline wins, so the 16 MB-era budgets
+    stay."""
     e = _lane_elems(W, D)
     budget = 13_000_000
     rows = (budget - 36 * e) // (8 * e)
@@ -621,6 +624,10 @@ def _sweep_horizontal(C, dS, p1, p2, reverse: bool, interpret: bool,
         out_shape=jax.ShapeDtypeStruct(C.shape, jnp.uint16),
         scratch_shapes=[pltpu.VMEM((Ht, D), jnp.float32)],
         input_output_aliases={1: 0} if acc else {},
+        # NO raised VMEM cap here: with vmem_limit_bytes=100M Mosaic's
+        # infer-vector-layout emits an unlowerable i16 shape cast for the
+        # middle-sliced (Ht, COLS, D) store (hw_parity r3 repro); the
+        # legacy H-major layout is only used by sgm_aggregate_pallas.
         interpret=interpret,
     )(*inputs)
     return out[:H, :W] if (Wp != W or Hp != H) else out
@@ -828,9 +835,16 @@ def sgm_aggregate_pallas(
     S = _vertical_sweep_auto(C, p1, p2, False, interpret).astype(jnp.int32)
     if num_directions == 8:
         S = S + _vertical_sweep_auto(C, p1, p2, True, interpret)
-    S = S + _sweep_horizontal(C, None, p1, p2, reverse=False,
-                              interpret=interpret, accumulate=False)
-    S = S + _sweep_horizontal(C, None, p1, p2, reverse=True,
-                              interpret=interpret, accumulate=False)
+    # Horizontal directions run over the TRANSPOSED volume (the shipped
+    # v4 layout): the H-major _sweep_horizontal's middle-sliced i16
+    # stores hit a Mosaic infer-vector-layout "unsupported shape cast"
+    # on current hardware toolchains, and the W-major form is faster
+    # anyway (module docstring, v4 note 4).
+    CT = jnp.swapaxes(C, 0, 1)
+    dT = _sweep_hT(CT, None, p1, p2, reverse=False, interpret=interpret,
+                   accumulate=False).astype(jnp.int32)
+    dT = dT + _sweep_hT(CT, None, p1, p2, reverse=True, interpret=interpret,
+                        accumulate=False)
+    S = S + jnp.swapaxes(dT, 0, 1)
     # The deltas exclude each direction's C term; add them back.
     return S + num_directions * C.astype(jnp.int32)

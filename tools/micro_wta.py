@@ -85,6 +85,8 @@ def wta_nat(CT, dST_list, uniqueness_ratio, min_disp, BH, BW):
         in_specs=[spec] * (1 + len(dST_list)),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Wp, Hp, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(CT, *dST_list)
 
 
@@ -151,6 +153,8 @@ def wta_variant(CT, dST_list, uniqueness_ratio, min_disp, BH, BW, use_dot):
         in_specs=[spec] * (1 + len(dST_list)),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Wp, Hp, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(CT, *dST_list)
 
 
