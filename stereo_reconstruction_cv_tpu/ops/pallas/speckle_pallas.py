@@ -124,8 +124,10 @@ def flood_round_pallas(lab, conn_h, conn_v, *, interpret: bool = False):
         lab = jnp.pad(lab, ((0, H - H0), (0, 0)), constant_values=big)
         conn_h = jnp.pad(conn_h, ((0, H - H0), (0, 0)))
         conn_v = jnp.pad(conn_v, ((0, H - H0), (0, 0)))
-    # Row flood: blocks span full W (the flood axis); tile rows to fit the
-    # ~6 live (Ht, W) i32 buffers + roll temporaries in VMEM.
+    # Row flood: blocks span full W (the flood axis); tile rows. Taller
+    # row blocks (Ht=64 padded) measured NEUTRAL at 4K (50.7 vs 49.6 ms,
+    # r3): convergence is column/global-alternation-limited, not
+    # row-block-height-limited.
     Ht = 64
     while H % Ht:
         Ht //= 2

@@ -184,8 +184,27 @@ def main():
             best_t = min(best_t, _time.perf_counter() - t0)
         out["hT_R_wta_fused_ms"] = 1e3 * max(best_t - rtt(), 0.0) / it
     except Exception as e:
-        out["hT_R_wta_fused_ms"] = None
-        out["hT_R_wta_note"] = f"{type(e).__name__}: {e}"[:160]
+        # The it-deep fori_loop graph can crash the remote compile helper
+        # at 4K x 256 even though the kernel itself compiles and runs
+        # (bench config3 executes it); fall back to single-call timing
+        # (one rtt subtraction per call — noisier, flagged in the note).
+        fn1 = jax.jit(
+            lambda ct, s0, other: sum(
+                jnp.sum(x, dtype=jnp.float32)
+                for x in SP._sweep_hT_wta(
+                    ct, s0, other if nd == 8 else None,
+                    p1f, p2f, nd, 10, 0, False)
+            )
+        )
+        float(np.asarray(fn1(CT, dsaT, dsaT)))
+        best_t = float("inf")
+        for _ in range(4):
+            t0 = _time.perf_counter()
+            float(np.asarray(fn1(CT, dsaT, dsaT)))
+            best_t = min(best_t, _time.perf_counter() - t0)
+        out["hT_R_wta_fused_ms"] = 1e3 * max(best_t - rtt(), 0.0)
+        out["hT_R_wta_note"] = (
+            f"single-call timing (chain harness: {type(e).__name__})")
     flush()
     del CT, dsaT
 
