@@ -196,9 +196,12 @@ class TestSpeckleExact:
         assert agree == 1.0, f"mask agreement {agree:.6f} != 1"
 
     def test_d2_parity(self):
-        imL = cv2.resize(cv2.imread("/root/reference/dataset/d2/img1.jpg", 0), (640, 360))
-        imR = cv2.resize(cv2.imread("/root/reference/dataset/d2/img2.jpg", 0), (640, 360))
-        self._parity(imL, imR, SGBMConfig(num_disparities=64))
+        # 320x180/32 keeps a real pair's speckle structure while the
+        # input-producing SGBM stays inside the fast-tier budget; the
+        # full-size parities live in the slow tier below.
+        imL = cv2.resize(cv2.imread("/root/reference/dataset/d2/img1.jpg", 0), (320, 180))
+        imR = cv2.resize(cv2.imread("/root/reference/dataset/d2/img2.jpg", 0), (320, 180))
+        self._parity(imL, imR, SGBMConfig(num_disparities=32))
 
     @pytest.mark.slow
     def test_4k_parity(self):

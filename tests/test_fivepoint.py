@@ -75,9 +75,10 @@ def test_minimal_exact_f32():
     X = r.uniform(-1, 1, (5, 3))
     X[:, 2] = r.uniform(3, 6, 5)
     x1, x2 = _project(X, R, t)
-    # Eager: one solve runs faster op-by-op than paying the ~20 s CPU
-    # compile of the companion eigensolve (fast-tier budget).
-    Ecand, valid = essential_5pt(
+    # Jitted: ~16 s compile lands in the persistent cache (conftest), so
+    # repeat runs skip straight to the ~4 ms execution; eager re-pays
+    # ~16 s of op-by-op dispatch every run.
+    Ecand, valid = jax.jit(essential_5pt)(
         jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32)
     )
     errs = [_e_err(E, E_true) for E, v in zip(np.asarray(Ecand), np.asarray(valid)) if v]
