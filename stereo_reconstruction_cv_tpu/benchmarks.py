@@ -254,12 +254,21 @@ def bench_config3(iters=3):
 
     # Primary-metric companion: raw 4K SGBM MPix/s at 128 disparities
     # (BASELINE.json metric line: "disparity MPix/s at 720p/4K (128 disp)").
-    # Same 8-path mode as the 720p/128 headline so the two MPix/s numbers
-    # are comparable (BASELINE config 2 is explicitly "full 8-path").
-    cfg128 = cfg.with_(num_disparities=128, num_directions=8,
+    # Headline mode is 5 directions == cv2's default MODE_SGBM, the mode
+    # the reference notebook actually runs (main.ipynb cell 10 passes no
+    # mode flag); the full-8-path number is emitted alongside for
+    # comparability with BASELINE config 2 (explicitly "full 8-path") and
+    # with the round-1/2 records. Both carry a "mode" field.
+    cfg128 = cfg.with_(num_disparities=128, num_directions=5,
                        speckle_window_size=0)
     dt128 = _timed_device_loop(
         lambda a, b: jnp.sum(DP.sgbm_disparity_auto(a, b, cfg128)[0]), (l, r), 3
+    )
+    dt128_8 = _timed_device_loop(
+        lambda a, b: jnp.sum(
+            DP.sgbm_disparity_auto(a, b, cfg128.with_(num_directions=8))[0]
+        ),
+        (l, r), 3,
     )
 
     dt_cv = None
@@ -291,6 +300,14 @@ def bench_config3(iters=3):
             "metric": "sgbm_disparity_4k_128disp",
             "value": round(mpix / dt128, 3),
             "unit": "MPix/s",
+            "mode": "MODE_SGBM (5-dir, cv2/reference default)",
+            "vs_baseline": None,
+        },
+        {
+            "metric": "sgbm_disparity_4k_128disp_8dir",
+            "value": round(mpix / dt128_8, 3),
+            "unit": "MPix/s",
+            "mode": "MODE_HH (full 8-path)",
             "vs_baseline": None,
         },
         {
