@@ -295,19 +295,24 @@ def bench_config3(iters=3):
         dt_cv = time.perf_counter() - t0
     except Exception:
         pass
+    # Metric names (ADVICE r3): `sgbm_disparity_4k_128disp` stays bound to
+    # full 8-path MODE_HH — the meaning it carried in the r1/r2 records —
+    # so round-over-round parsers compare like with like; the 5-dir
+    # MODE_SGBM row (cv2's own default, what the reference notebook runs)
+    # is emitted under an explicit `_5dir` suffix.
     return [
         {
             "metric": "sgbm_disparity_4k_128disp",
-            "value": round(mpix / dt128, 3),
+            "value": round(mpix / dt128_8, 3),
             "unit": "MPix/s",
-            "mode": "MODE_SGBM (5-dir, cv2/reference default)",
+            "mode": "MODE_HH (full 8-path, same mode as the r1/r2 records)",
             "vs_baseline": None,
         },
         {
-            "metric": "sgbm_disparity_4k_128disp_8dir",
-            "value": round(mpix / dt128_8, 3),
+            "metric": "sgbm_disparity_4k_128disp_5dir",
+            "value": round(mpix / dt128, 3),
             "unit": "MPix/s",
-            "mode": "MODE_HH (full 8-path)",
+            "mode": "MODE_SGBM (5-dir, cv2/reference default)",
             "vs_baseline": None,
         },
         {
@@ -339,10 +344,14 @@ def bench_config4(iters=5):
     model = XF.XFeatNet()
     # Highest-versioned shipped checkpoint == the evaluated best
     # (docs/XFEAT_EVAL.json), matching cli._default_learned_checkpoint.
+    # Params template inits at a tiny FIXED shape: conv param shapes are
+    # input-size independent, and each distinct compiled program costs
+    # ~60 s through the dev relay (r4; full-size init alone burned a
+    # minute of the r3 driver budget).
     import glob as _glob
 
     cands = sorted(_glob.glob(os.path.join(_REPO_ROOT, "checkpoints", "xfeat_v*")))
-    state, _ = XF.create_train_state(jax.random.PRNGKey(0), model, (size[1], size[0]))
+    state, _ = XF.create_train_state(jax.random.PRNGKey(0), model, (64, 96))
     params = state.params
     if cands:
         from stereo_reconstruction_cv_tpu.models import checkpoint as CK
@@ -355,8 +364,10 @@ def bench_config4(iters=5):
     maxk = 1024
 
     def step(l, r):
-        f1 = XF.detect(params, model, l, maxk)
-        f2 = XF.detect(params, model, r, maxk)
+        # One batched net forward for the pair (models.xfeat.detect_pair,
+        # r4): the per-image B=1 forwards underfed the MXU and paid every
+        # launch twice — the driver-measured 97.4 ms/pair of r3.
+        f1, f2 = XF.detect_pair(params, model, l, r, maxk)
         res = MT.match_learned(f1.descriptors, f2.descriptors)
         p1, p2, w = MT.gather_correspondences(f1.keypoints, f2.keypoints, res)
         pts = G.triangulate_points(P1, P2, p1, p2)
@@ -454,7 +465,14 @@ def bench_config5():
         return np.stack([_decode(pr[0], True), _decode(pr[1], True)])
 
     # Stage the frames in HBM and warm the compile outside the timed loop.
-    staged = [jax.device_put(decode_pair(pr)) for pr in paths]
+    # Only the two DISTINCT pairs are decoded and uploaded (r4, VERDICT r3
+    # item 1c): staging all 8 slots pushed ~132 MB through the 5-50 MB/s
+    # dev relay and was a principal in the r3 suite timeout. The timed
+    # loop below still performs all 8 host decode events — that is the
+    # overlap being measured — but the device-side inputs cycle over the
+    # two staged buffers.
+    distinct = {pr: jax.device_put(decode_pair(pr)) for pr in set(paths)}
+    staged = [distinct[pr] for pr in paths]
     float(np.asarray(step(staged[0])))
 
     # Pipeline rate: dispatch all 8 SGBM+cloud steps asynchronously, then
@@ -480,7 +498,10 @@ def bench_config5():
     float(np.asarray(jnp.sum(x, dtype=jnp.float32)))
     h2d = pair0.nbytes / (time.perf_counter() - t0) / 1e6
 
-    loader = PrefetchLoader(paths, batch_size=1, prefetch=3, gray=True)
+    # Honest wall-clock over HALF the events (r4): per-pair cost through
+    # the tunnel is flat, and 8 tunnel-inclusive pairs at 0.7-1.7 s each
+    # were a principal in the r3 suite timeout.
+    loader = PrefetchLoader(paths[:4], batch_size=1, prefetch=3, gray=True)
     t0 = time.perf_counter()
     outs = [step(jnp.stack([l[0], r[0]])) for l, r in loader]
     for o in outs:
@@ -504,8 +525,37 @@ def bench_config5():
 
 _CONFIGS = {1: bench_config1, 2: bench_config2, 3: bench_config3,
             4: bench_config4, 5: bench_config5}
-# Headline (config 2) last so the final stdout line is the primary metric.
-_DEFAULT_ORDER = (1, 4, 5, 3, 2)
+# Round-4 ordering (VERDICT r3 item 1): the HEADLINE (config 2) runs and
+# emits FIRST — a harness timeout partway through the suite can no longer
+# erase the primary metric — and its stored result is re-emitted LAST so
+# final-stdout-line parsers still read it.
+_DEFAULT_ORDER = (2, 1, 4, 3, 5)
+
+# Per-config wall-clock caps (seconds). A config that overruns its cap is
+# killed via SIGALRM and emits an {"error": "budget"} line; the suite moves
+# on. Caps sized ~3x the measured r4 runtimes on the dev host (warm
+# persistent compile cache, tools/warm_bench_cache.py).
+_CAPS = {1: 90, 2: 150, 3: 240, 4: 150, 5: 240}
+
+
+class _Budget(Exception):
+    pass
+
+
+def _run_capped(fn, cap_s: float):
+    """Run fn() under a hard SIGALRM deadline (main thread only)."""
+    import signal
+
+    def handler(signum, frame):
+        raise _Budget()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(max(1, int(cap_s)))
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def main(configs=None) -> int:
@@ -514,13 +564,30 @@ def main(configs=None) -> int:
         configs = [int(c) for c in env.split(",")] if env else list(_DEFAULT_ORDER)
     else:
         configs = [int(c) for c in configs]
+    # Total suite budget: keep comfortably inside the driver's harness
+    # timeout (round 3 was rc=124 with only 2 of 6 lines out).
+    total_budget = float(os.environ.get("STEREO_BENCH_BUDGET_S", "600"))
+    t0 = time.monotonic()
+    headline = None
     for c in configs:
+        remaining = total_budget - (time.monotonic() - t0)
+        if remaining < 15:
+            _emit({"metric": f"config{c}", "skipped": "suite budget exhausted",
+                   "budget_s": total_budget})
+            continue
         try:
-            out = _CONFIGS[c]()
+            out = _run_capped(_CONFIGS[c], min(_CAPS.get(c, 120), remaining))
             for obj in out if isinstance(out, list) else [out]:
                 _emit(obj)
+                if obj.get("metric") == "sgbm_disparity_720p_128disp":
+                    headline = obj
+        except _Budget:
+            _emit({"metric": f"config{c}", "error": "budget",
+                   "cap_s": _CAPS.get(c, 120)})
         except Exception as e:  # one config failing must not hide the rest
             _emit({"metric": f"config{c}", "error": f"{type(e).__name__}: {e}"[:300]})
+    if headline is not None and len(configs) > 1:
+        _emit(headline)  # headline re-emitted last for tail-line parsers
     return 0
 
 

@@ -148,6 +148,105 @@ def corner_subpix(
     return jax.vmap(refine_one)(corners.astype(jnp.float32))
 
 
+def corner_subpix_patch(
+    img: jnp.ndarray,
+    corners: jnp.ndarray,
+    win: int = 3,
+    max_iter: int = 5,
+    max_drift: float = 3.0,
+) -> jnp.ndarray:
+    """Patch-resident corner_subpix for LARGE keypoint sets (the learned
+    detector's per-frame refinement, models/xfeat._detect_post).
+
+    `corner_subpix` bilinearly samples the full image 4x per window point
+    per iteration — ~4M scalar gathers for 1024 keypoints at win=3, which
+    TPUs execute serially (~42 ms/image at 960x536, the whole r3
+    config-4 regression). Here each corner instead extracts ONE (P, P)
+    patch around its initial integer location, and every iteration
+    resamples the shifted window INSIDE the patch as two small batched
+    matmuls (separable bilinear: S = Wy @ patch @ Wx^T) — gather-free
+    after the single patch fetch, and the matmuls ride the MXU.
+
+    Iterates the same gradient-weighted 2x2 normal solve as
+    `corner_subpix`; results match wherever the refinement stays within
+    `max_drift` of the start (beyond that the patch clamps — such points
+    are exactly the ones detect's 1.5 px acceptance gate rejects anyway).
+    cv2.cornerSubPix semantics: gui.py:57 (the calib stack keeps the
+    full-image variant)."""
+    imgf = img.astype(jnp.float32)
+    H, W = imgf.shape
+    n = 2 * win + 1
+    off = jnp.arange(-win, win + 1, dtype=jnp.float32)
+    wx = 1.0 - jnp.abs(off) / (win + 1)
+    weight = wx[:, None] * wx[None, :]
+    gy_off, gx_off = jnp.meshgrid(off, off, indexing="ij")
+
+    drift = int(np.ceil(max_drift))
+    # Samples reach +-(win+1) around the current center (gradients need
+    # one extra texel), the center may drift +-drift, and bilinear reads
+    # one texel past floor.
+    half = win + 2 + drift
+    P = 2 * half + 1
+    m = n + 2  # sampled grid rows/cols: window plus gradient margin
+
+    x0 = jnp.clip(jnp.floor(corners[:, 0]).astype(jnp.int32), half, W - 1 - half)
+    y0 = jnp.clip(jnp.floor(corners[:, 1]).astype(jnp.int32), half, H - 1 - half)
+    rng = jnp.arange(-half, half + 1)
+    patches = imgf[
+        (y0[:, None, None] + rng[None, :, None]),
+        (x0[:, None, None] + rng[None, None, :]),
+    ]  # (N, P, P), one gather
+
+    kk = jnp.arange(P, dtype=jnp.float32)
+    moff = jnp.arange(-(win + 1), win + 2, dtype=jnp.float32)  # (m,)
+    lim = float(half - win - 2)  # max |center - patch midpoint| that keeps
+    #                              every sample (incl. bilinear +1) inside
+
+    def interp_weights(c_patch):
+        # (m, P) separable bilinear weights for positions c_patch + moff,
+        # in patch coordinates [0, P).
+        pos = c_patch + moff
+        f0 = jnp.floor(pos)
+        fr = pos - f0
+        d = kk[None, :] - f0[:, None]
+        return jnp.where(d == 0, 1.0 - fr[:, None], 0.0) + jnp.where(
+            d == 1, fr[:, None], 0.0
+        )
+
+    def refine_one(q, patch, x0i, y0i):
+        ox = x0i.astype(jnp.float32)  # patch-midpoint image coords
+        oy = y0i.astype(jnp.float32)
+
+        def body(_, c):
+            # Patch coords (midpoint at `half`); the normal equations are
+            # affine-invariant, so solving in patch coords is exact.
+            cxp = jnp.clip(c[0], half - lim, half + lim)
+            cyp = jnp.clip(c[1], half - lim, half + lim)
+            S = interp_weights(cyp) @ patch @ interp_weights(cxp).T  # (m, m)
+            gx = (S[1:-1, 2:] - S[1:-1, :-2]) * 0.5  # (n, n)
+            gy = (S[2:, 1:-1] - S[:-2, 1:-1]) * 0.5
+            xs = cxp + gx_off
+            ys = cyp + gy_off
+            a = jnp.sum(weight * gx * gx)
+            b = jnp.sum(weight * gx * gy)
+            cc = jnp.sum(weight * gy * gy)
+            bx = jnp.sum(weight * (gx * gx * xs + gx * gy * ys))
+            by = jnp.sum(weight * (gx * gy * xs + gy * gy * ys))
+            det = a * cc - b * b
+            ok = jnp.abs(det) > 1e-12
+            nx = jnp.where(ok, (cc * bx - b * by) / jnp.where(ok, det, 1.0), cxp)
+            ny = jnp.where(ok, (a * by - b * bx) / jnp.where(ok, det, 1.0), cyp)
+            nx = jnp.clip(nx, cxp - 2.0, cxp + 2.0)
+            ny = jnp.clip(ny, cyp - 2.0, cyp + 2.0)
+            return jnp.array([nx, ny])
+
+        c_init = jnp.array([q[0] - ox + half, q[1] - oy + half])
+        c_fin = jax.lax.fori_loop(0, max_iter, body, c_init)
+        return jnp.array([c_fin[0] - half + ox, c_fin[1] - half + oy])
+
+    return jax.vmap(refine_one)(corners.astype(jnp.float32), patches, x0, y0)
+
+
 # ---------------------------------------------------------------------------
 # Host side: lattice growth
 # ---------------------------------------------------------------------------

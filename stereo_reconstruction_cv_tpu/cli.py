@@ -326,6 +326,9 @@ def main(argv=None):
     # anchors), and jax_enable_x64 breaks Mosaic lowering of the Pallas
     # kernels (i64/f64 leaks fail 'func.return' legalization).
     p = argparse.ArgumentParser(prog="stereo-tpu", description=__doc__)
+    p.add_argument("--metrics", default=None, metavar="OUT.json",
+                   help="dump per-stage timings + counts (utils/profiling "
+                        "Metrics registry) to this JSON file after the verb")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("calibrate", help="chessboard camera calibration (Tab 1)")
@@ -432,7 +435,38 @@ def main(argv=None):
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    _validate_reference_ranges(args)
+    rc = args.fn(args)
+    if getattr(args, "metrics", None):
+        from stereo_reconstruction_cv_tpu.utils.profiling import METRICS
+
+        with open(args.metrics, "w") as f:
+            f.write(METRICS.dump() + "\n")
+        print(f"metrics -> {args.metrics}")
+    return rc
+
+
+def _validate_reference_ranges(args) -> None:
+    """Input-validation parity with the GUI (VERDICT r3 item 9): bad values
+    warn and fall back to the reference defaults instead of erroring.
+
+    - baseline must be a positive float, else 0.1 (gui.py:465-472)
+    - contrast threshold must lie in [0, 0.1], else 0.04 (gui.py:546-553)"""
+    if getattr(args, "baseline", None) is not None and args.baseline <= 0:
+        print(
+            f"Invalid baseline value: {args.baseline}. Baseline must be "
+            "positive. Using default (0.1).",
+            file=sys.stderr,
+        )
+        args.baseline = 0.1
+    ct = getattr(args, "contrast_threshold", None)
+    if ct is not None and not (0 <= ct <= 0.1):
+        print(
+            f"Invalid contrast threshold: {ct}. Contrast threshold must be "
+            "between 0 and 0.1. Using default (0.04).",
+            file=sys.stderr,
+        )
+        args.contrast_threshold = 0.04
 
 
 if __name__ == "__main__":

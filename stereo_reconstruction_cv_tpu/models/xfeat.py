@@ -111,15 +111,72 @@ def detect(
     x = (img.astype(jnp.float32) / 255.0)[None, ..., None]
     kpt_logits, desc, reliability = model.apply(params, x)
     heat = heatmap_from_logits(kpt_logits)[0]
+    return _detect_post(
+        img, heat, desc[0], reliability[0], max_keypoints, nms_radius,
+        image_refine,
+    )
+
+
+def detect_pair(
+    params,
+    model: XFeatNet,
+    img_left: jnp.ndarray,
+    img_right: jnp.ndarray,
+    max_keypoints: int = 1024,
+    nms_radius: int = 4,
+    image_refine: bool = True,
+) -> Tuple[Features, Features]:
+    """Detect on a stereo pair with ONE batched network forward (B=2).
+
+    Per-image B=1 forwards leave the MXU underfed at the small channel
+    counts of this net and pay every launch overhead twice; batching the
+    pair roughly halves the per-image net cost (r4, bench config 4).
+    Identical outputs to two `detect` calls."""
+    x = jnp.stack([img_left, img_right]).astype(jnp.float32) / 255.0
+    kpt_logits, desc, reliability = model.apply(params, x[..., None])
+    heats = heatmap_from_logits(kpt_logits)
+    fl = _detect_post(img_left, heats[0], desc[0], reliability[0],
+                      max_keypoints, nms_radius, image_refine)
+    fr = _detect_post(img_right, heats[1], desc[1], reliability[1],
+                      max_keypoints, nms_radius, image_refine)
+    return fl, fr
+
+
+def _detect_post(
+    img: jnp.ndarray,
+    heat: jnp.ndarray,
+    desc: jnp.ndarray,
+    reliability: jnp.ndarray,
+    max_keypoints: int,
+    nms_radius: int,
+    image_refine: bool,
+) -> Features:
     H, W = heat.shape
     # NMS via max-pool equality.
     k = 2 * nms_radius + 1
     pooled = nn.max_pool(heat[None, ..., None], (k, k), padding="SAME")[0, ..., 0]
     is_peak = (heat == pooled) & (heat > 0)
-    scores = jnp.where(is_peak, heat, 0.0).ravel()
-    top, idx = jax.lax.top_k(scores, max_keypoints)
-    yi = (idx // W).astype(jnp.int32)
-    xi = (idx % W).astype(jnp.int32)
+    scores = jnp.where(is_peak, heat, 0.0)
+    # Tiled top-k: NMS peaks are > nms_radius apart (Chebyshev), so a
+    # t x t tile with t <= nms_radius holds at most one peak (up to exact
+    # float ties, which the tile argmax then breaks first-index like
+    # top_k would among equals) — reduce each 4x4 tile to its max before
+    # the top_k, shrinking its input 16x (top_k over H*W floats was a
+    # measurable slice of the 45 ms/image r3 detect cost).
+    t = min(4, max(1, nms_radius))
+    if H % t == 0 and W % t == 0:
+        tiles = scores.reshape(H // t, t, W // t, t).transpose(0, 2, 1, 3)
+        tiles = tiles.reshape(H // t, W // t, t * t)
+        tmax = jnp.max(tiles, axis=-1)
+        targ = jnp.argmax(tiles, axis=-1).astype(jnp.int32)
+        top, tidx = jax.lax.top_k(tmax.ravel(), max_keypoints)
+        sub = targ.ravel()[tidx]
+        yi = (tidx // (W // t)).astype(jnp.int32) * t + sub // t
+        xi = (tidx % (W // t)).astype(jnp.int32) * t + sub % t
+    else:
+        top, idx = jax.lax.top_k(scores.ravel(), max_keypoints)
+        yi = (idx // W).astype(jnp.int32)
+        xi = (idx % W).astype(jnp.int32)
     # Quadratic subpixel refine on the heatmap: integer-snapped keypoints
     # cost ~0.5 px of epipolar residual (x2 at the geometry path's
     # detection downscale), which starves E-inlier counts on 4K pairs.
@@ -145,9 +202,16 @@ def detect(
         # refine to ~0.1 px on the intensity saddle; keypoints where the
         # refinement diverges past 1.5 px (edges, blobs) keep the heatmap
         # estimate.
-        from stereo_reconstruction_cv_tpu.calib.chessboard import corner_subpix
+        # Patch-resident variant (r4): the full-image corner_subpix cost
+        # ~42 ms/image in scalar gathers — the whole r3 config-4
+        # regression; corner_subpix_patch is gather-free per iteration
+        # (one patch fetch, then batched-matmul resampling on the MXU).
+        from stereo_reconstruction_cv_tpu.calib.chessboard import (
+            corner_subpix_patch,
+        )
 
-        refined = corner_subpix(img, kpts, win=3, max_iter=5)
+        refined = corner_subpix_patch(img, kpts, win=3, max_iter=5,
+                                      max_drift=5.0)
         keep = jnp.max(jnp.abs(refined - kpts), axis=-1) <= 1.5
         kpts = jnp.where(keep[:, None], refined, kpts)
         xs = kpts[:, 0]
@@ -155,12 +219,12 @@ def detect(
     # Bilinear descriptor sampling on the 1/8 grid.
     gx = xs / CELL - 0.5
     gy = ys / CELL - 0.5
-    Hc, Wc = desc.shape[1:3]
+    Hc, Wc = desc.shape[:2]
     x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, Wc - 2)
     y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, Hc - 2)
     fx = jnp.clip(gx - x0, 0.0, 1.0)[:, None]
     fy = jnp.clip(gy - y0, 0.0, 1.0)[:, None]
-    d = desc[0]
+    d = desc
     v = (
         d[y0, x0] * (1 - fx) * (1 - fy)
         + d[y0, x0 + 1] * fx * (1 - fy)
@@ -168,8 +232,8 @@ def detect(
         + d[y0 + 1, x0 + 1] * fx * fy
     )
     v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
-    rel = reliability[0][jnp.clip(ys.astype(jnp.int32) // CELL, 0, Hc - 1),
-                         jnp.clip(xs.astype(jnp.int32) // CELL, 0, Wc - 1)]
+    rel = reliability[jnp.clip(ys.astype(jnp.int32) // CELL, 0, Hc - 1),
+                      jnp.clip(xs.astype(jnp.int32) // CELL, 0, Wc - 1)]
     return Features(kpts, top * rel, v, top > 0)
 
 

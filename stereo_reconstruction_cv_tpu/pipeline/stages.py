@@ -29,6 +29,8 @@ negate T for the canonical-orientation cloud.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -50,6 +52,40 @@ from stereo_reconstruction_cv_tpu.ops import rectify as RC
 from stereo_reconstruction_cv_tpu.ops import robust as RB
 
 
+def _observed(stage: str):
+    """Per-stage observability (SURVEY §5, VERDICT r3 item 6): every public
+    stage records its wall-clock into the process-global Metrics registry
+    (utils/profiling.py), and scalar diagnostics from dict-returning stages
+    (match counts, inlier counts, residuals — the numbers the reference
+    prints, gui.py:228-229, 242; cell 6 +42-44) land as '<stage>/<key>'
+    values. `cli --metrics out.json` dumps the registry after any verb."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            from stereo_reconstruction_cv_tpu.utils.profiling import (
+                METRICS,
+                stage_timer,
+            )
+
+            with stage_timer(stage):
+                out = fn(*args, **kwargs)
+            if isinstance(out, dict):
+                for k, v in out.items():
+                    if isinstance(v, (bool, int, float)):
+                        METRICS.record(f"{stage}/{k}", v)
+                    elif isinstance(v, tuple) and all(
+                        isinstance(x, (int, float)) for x in v
+                    ):
+                        for i, x in enumerate(v):
+                            METRICS.record(f"{stage}/{k}_{i}", x)
+            return out
+
+        return wrapper
+
+    return deco
+
+
 def default_camera_matrix(cfg: cfg_mod.RectifyConfig = cfg_mod.DEFAULT.rectify) -> np.ndarray:
     """The reference's fallback K (gui.py:93-94, 264-265)."""
     return np.array(
@@ -61,6 +97,7 @@ def default_camera_matrix(cfg: cfg_mod.RectifyConfig = cfg_mod.DEFAULT.rectify) 
 # Calibration
 # ---------------------------------------------------------------------------
 
+@_observed("calibrate")
 def calibrate(
     folder: str,
     chessboard: Tuple[int, int] = (9, 7),
@@ -150,6 +187,7 @@ def _calib_results_tuple(out):
     ]
 
 
+@_observed("calibrate_stereo_rig")
 def calibrate_stereo_rig(
     folder1: str,
     folder2: str,
@@ -196,6 +234,7 @@ def calibrate_stereo_rig(
 # Features & matching
 # ---------------------------------------------------------------------------
 
+@_observed("detect_match")
 def detect_match(
     folder_or_pair,
     contrast_threshold: float = 0.04,
@@ -213,8 +252,7 @@ def detect_match(
     `cli train-features` for trained weights."""
     imL, imR = _load_pair(folder_or_pair)
     if method == "learned":
-        fl = _learned_features(imL, max_keypoints, model_checkpoint)
-        fr = _learned_features(imR, max_keypoints, model_checkpoint)
+        fl, fr = _learned_features_pair(imL, imR, max_keypoints, model_checkpoint)
         mres = M.match_learned(
             fl.descriptors.astype(jnp.float32),
             fr.descriptors.astype(jnp.float32),
@@ -299,29 +337,54 @@ def _pair_cache_key(folder_or_pair, **params) -> Dict:
 _XFEAT_CACHE = {}
 
 
-def _learned_features(img, max_keypoints: int, checkpoint: str | None):
-    """XFeat-style detection; weights from a checkpoint or fresh init.
-    H, W are cropped to multiples of the 8-px cell."""
+def _xfeat_model(checkpoint: str | None):
+    """Model + params (checkpoint or fresh init), cached per checkpoint.
+
+    The params template always initializes at a FIXED tiny shape: the
+    convnet's parameter shapes are input-size independent, and on the dev
+    TPU every distinct compiled program pays a ~60 s remote-relay compile
+    (r4 measurement) — one shape-independent init program amortizes across
+    every working resolution."""
     from stereo_reconstruction_cv_tpu.models import xfeat as XF
 
     key = ("model", checkpoint)
     if key not in _XFEAT_CACHE:
         model = XF.XFeatNet()
+        state, _ = XF.create_train_state(jax.random.PRNGKey(0), model, (64, 96))
+        params = state.params
         if checkpoint:
             from stereo_reconstruction_cv_tpu.models import checkpoint as CK
 
-            H0, W0 = img.shape[0] // 8 * 8, img.shape[1] // 8 * 8
-            state, _ = XF.create_train_state(jax.random.PRNGKey(0), model, (H0, W0))
-            params = CK.load_params(checkpoint, like=state.params)
-        else:
-            state, _ = XF.create_train_state(
-                jax.random.PRNGKey(0), model, (img.shape[0] // 8 * 8, img.shape[1] // 8 * 8)
-            )
-            params = state.params
+            params = CK.load_params(checkpoint, like=params)
         _XFEAT_CACHE[key] = (model, params)
-    model, params = _XFEAT_CACHE[key]
+    return _XFEAT_CACHE[key]
+
+
+def _learned_features(img, max_keypoints: int, checkpoint: str | None):
+    """XFeat-style detection; weights from a checkpoint or fresh init.
+    H, W are cropped to multiples of the 8-px cell."""
+    from stereo_reconstruction_cv_tpu.models import xfeat as XF
+
+    model, params = _xfeat_model(checkpoint)
     H0, W0 = img.shape[0] // 8 * 8, img.shape[1] // 8 * 8
     return XF.detect(params, model, jnp.asarray(img[:H0, :W0]), max_keypoints)
+
+
+def _learned_features_pair(imL, imR, max_keypoints: int, checkpoint: str | None):
+    """Pair detection with one batched net forward (models.xfeat.detect_pair)."""
+    from stereo_reconstruction_cv_tpu.models import xfeat as XF
+
+    model, params = _xfeat_model(checkpoint)
+    H0, W0 = imL.shape[0] // 8 * 8, imL.shape[1] // 8 * 8
+    if imR.shape[:2] != imL.shape[:2]:
+        return (
+            _learned_features(imL, max_keypoints, checkpoint),
+            _learned_features(imR, max_keypoints, checkpoint),
+        )
+    return XF.detect_pair(
+        params, model, jnp.asarray(imL[:H0, :W0]), jnp.asarray(imR[:H0, :W0]),
+        max_keypoints,
+    )
 
 
 import contextlib
@@ -397,8 +460,7 @@ def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig, max_dim: int = 2048,
     dR = _downscale(imR, factor) if factor > 1 else imR
     with _geometry_ctx(), jax.default_matmul_precision("highest"):
         if method == "learned":
-            fl = _learned_features(dL, cfg.max_keypoints, checkpoint)
-            fr = _learned_features(dR, cfg.max_keypoints, checkpoint)
+            fl, fr = _learned_features_pair(dL, dR, cfg.max_keypoints, checkpoint)
             # Learned dense-grid descriptors: mutual NN + cosine gate
             # (Lowe's ratio starves them — see ops.matching.match_learned).
             mres = M.match_learned(
@@ -440,6 +502,7 @@ def _match_for_geometry(imL, imR, cfg: cfg_mod.MatchConfig, max_dim: int = 2048,
 # Two-view geometry
 # ---------------------------------------------------------------------------
 
+@_observed("estimate_geometry")
 def estimate_geometry(
     folder_or_pair,
     baseline: float = 0.1,
@@ -520,6 +583,7 @@ def estimate_geometry(
 # Rectification
 # ---------------------------------------------------------------------------
 
+@_observed("rectify_pair")
 def rectify_pair(
     folder_or_pair,
     baseline: float = 0.1,
@@ -628,6 +692,7 @@ def rectify_pair(
 # Dense reconstruction
 # ---------------------------------------------------------------------------
 
+@_observed("disparity")
 def disparity(imgL, imgR, ndisp: int = 16, mindis: int = 0, cache=None) -> np.ndarray:
     """compute_disparity_map parity (cell 10): float map, /16 semantics,
     non-positive zeroed. cache: optional StageCache keyed on the input
@@ -646,6 +711,7 @@ def disparity(imgL, imgR, ndisp: int = 16, mindis: int = 0, cache=None) -> np.nd
     return disp
 
 
+@_observed("reconstruct")
 def reconstruct(disparity_map, Q) -> np.ndarray:
     """reconstruct_3D parity (cell 11): (H, W, 3) point image."""
     return np.asarray(
@@ -653,6 +719,7 @@ def reconstruct(disparity_map, Q) -> np.ndarray:
     )
 
 
+@_observed("export_point_cloud")
 def export_point_cloud(
     path: str, points_3d, disparity_map, colors=None
 ) -> int:
@@ -679,6 +746,7 @@ def export_point_cloud(
 # Sparse reconstruction (triangulation path, [branch] capability)
 # ---------------------------------------------------------------------------
 
+@_observed("triangulate_sparse")
 def triangulate_sparse(
     folder_or_pair,
     camera_matrix: Optional[np.ndarray] = None,

@@ -102,3 +102,39 @@ class TestSubpix:
         err_after = np.linalg.norm(refined - true_corners, axis=1).mean()
         assert err_after < err_before * 0.5
         assert err_after < 0.3
+
+
+class TestCornerSubpixPatch:
+    def test_matches_full_image_refiner(self, rng):
+        """corner_subpix_patch must reproduce corner_subpix wherever the
+        refinement stays inside the patch (models/xfeat detect path)."""
+        import cv2
+        import jax.numpy as jnp
+
+        from stereo_reconstruction_cv_tpu.calib.chessboard import (
+            corner_subpix,
+            corner_subpix_patch,
+        )
+
+        img = cv2.resize(
+            cv2.imread("/root/reference/dataset/d2/img1.jpg", 0), (320, 184)
+        )
+        pts = np.stack(
+            [
+                rng.uniform(12, 308, size=64),
+                rng.uniform(12, 172, size=64),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        ref = np.asarray(corner_subpix(jnp.asarray(img), jnp.asarray(pts),
+                                       win=3, max_iter=5))
+        got = np.asarray(corner_subpix_patch(jnp.asarray(img), jnp.asarray(pts),
+                                             win=3, max_iter=5, max_drift=5.0))
+        # What detect consumes: the <=1.5 px acceptance gate must make the
+        # same decisions, and accepted points must coincide.
+        dr = np.max(np.abs(ref - pts), axis=-1)
+        dg = np.max(np.abs(got - pts), axis=-1)
+        assert ((dr <= 1.5) == (dg <= 1.5)).all()
+        kept = (dr <= 1.5) & (dg <= 1.5)
+        assert kept.sum() >= 8
+        np.testing.assert_allclose(got[kept], ref[kept], atol=5e-3)

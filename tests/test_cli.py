@@ -66,3 +66,74 @@ def test_report_verb(tiny_pair, tmp_path, capsys):
         assert sec in html
     assert "data:image/png;base64," in html
     assert "srcdoc=" in html
+
+
+@pytest.mark.slow
+def test_metrics_dump(tiny_pair, tmp_path, capsys):
+    """--metrics dumps the per-stage observability registry (VERDICT r3
+    item 6): stage timings plus the counts the reference prints."""
+    import json
+
+    from stereo_reconstruction_cv_tpu.utils.profiling import METRICS
+
+    METRICS.reset()
+    out = str(tmp_path / "m.json")
+    outdir = str(tmp_path / "disp")
+    rc = cli.main(["--metrics", out, "disparity", tiny_pair, "--ndisp", "32",
+                   "--outdir", outdir])
+    assert rc == 0
+    m = json.load(open(out))
+    assert m["time/disparity_calls"] >= 1
+    assert m["time/disparity_s"] > 0
+
+
+@pytest.mark.slow
+def test_metrics_records_counts(tiny_pair, tmp_path):
+    import json
+
+    from stereo_reconstruction_cv_tpu.utils.profiling import METRICS
+
+    METRICS.reset()
+    out = str(tmp_path / "m.json")
+    rc = cli.main(["--metrics", out, "geometry", tiny_pair, "--baseline", "0.14"])
+    assert rc == 0
+    m = json.load(open(out))
+    assert m["estimate_geometry/num_matches"] > 0
+    assert m["estimate_geometry/num_inliers_E"] > 0
+    assert m["time/estimate_geometry_s"] > 0
+
+
+def test_baseline_validation_falls_back(tiny_pair, capsys, monkeypatch):
+    """GUI parity (gui.py:465-472): non-positive baseline warns and uses
+    the default 0.1 instead of erroring."""
+    seen = {}
+
+    def fake_geometry(args):
+        seen["baseline"] = args.baseline
+        return 0
+
+    import stereo_reconstruction_cv_tpu.cli as C
+
+    monkeypatch.setattr(C, "cmd_geometry", fake_geometry)
+    rc = C.main(["geometry", tiny_pair, "--baseline", "-3"])
+    assert rc == 0
+    assert seen["baseline"] == 0.1
+    assert "Invalid baseline" in capsys.readouterr().err
+
+
+def test_contrast_threshold_validation_falls_back(tiny_pair, capsys, monkeypatch):
+    """GUI parity (gui.py:546-553): contrast threshold outside [0, 0.1]
+    warns and uses the default 0.04."""
+    seen = {}
+
+    def fake_match(args):
+        seen["ct"] = args.contrast_threshold
+        return 0
+
+    import stereo_reconstruction_cv_tpu.cli as C
+
+    monkeypatch.setattr(C, "cmd_match", fake_match)
+    rc = C.main(["match", tiny_pair, "--contrast-threshold", "0.5"])
+    assert rc == 0
+    assert seen["ct"] == 0.04
+    assert "Invalid contrast threshold" in capsys.readouterr().err

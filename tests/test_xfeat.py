@@ -39,6 +39,48 @@ class TestShapes:
         assert feats.keypoints.shape == (128, 2)
         assert feats.descriptors.shape == (128, 64)
 
+    def test_detect_pair_matches_detect(self, model, state_tx, rng):
+        """detect_pair (one batched B=2 forward) must reproduce two
+        independent detect calls exactly (r4 bench-config-4 path)."""
+        state, _ = state_tx
+        imL = rng.integers(0, 255, size=(64, 96)).astype(np.uint8)
+        imR = rng.integers(0, 255, size=(64, 96)).astype(np.uint8)
+        fl, fr = XF.detect_pair(state.params, model, jnp.asarray(imL),
+                                jnp.asarray(imR), max_keypoints=64)
+        sl = XF.detect(state.params, model, jnp.asarray(imL), max_keypoints=64)
+        sr = XF.detect(state.params, model, jnp.asarray(imR), max_keypoints=64)
+        for a, b in ((fl, sl), (fr, sr)):
+            np.testing.assert_allclose(np.asarray(a.keypoints),
+                                       np.asarray(b.keypoints), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(a.descriptors),
+                                       np.asarray(b.descriptors), atol=1e-5)
+
+    def test_tiled_topk_matches_flat(self, model, state_tx, rng):
+        """The 4x4 tile-max reduction before top_k must select the same
+        peak set as the flat top_k (NMS guarantees one peak per tile)."""
+        import flax.linen as nn
+
+        state, _ = state_tx
+        img = rng.integers(0, 255, size=(64, 96)).astype(np.uint8)
+        x = (jnp.asarray(img).astype(jnp.float32) / 255.0)[None, ..., None]
+        logits, _, _ = model.apply(state.params, x)
+        heat = XF.heatmap_from_logits(logits)[0]
+        k = 9
+        pooled = nn.max_pool(heat[None, ..., None], (k, k), padding="SAME")[0, ..., 0]
+        scores = jnp.where((heat == pooled) & (heat > 0), heat, 0.0)
+        H, W = scores.shape
+        flat_top, flat_idx = jax.lax.top_k(scores.ravel(), 32)
+        feats = XF.detect(state.params, model, jnp.asarray(img),
+                          max_keypoints=32, image_refine=False)
+        got = {(int(round(float(y))), int(round(float(x_))))
+               for (x_, y), s in zip(np.asarray(feats.keypoints),
+                                     np.asarray(feats.scores)) if s > 0}
+        want = {(int(i) // W, int(i) % W)
+                for i, s in zip(np.asarray(flat_idx), np.asarray(flat_top))
+                if s > 0}
+        assert got == want
+
+
 
 @pytest.mark.slow
 class TestTraining:

@@ -1,0 +1,22 @@
+#!/bin/sh
+# Full test tier -> committed artifact (VERDICT r3 item 7).
+#
+# The fast tier (`pytest tests/ -x -q`) deselects the 70 slow-marked tests
+# (4K goldens, streaming, LM calibration goldens, cv2 parity gates); this
+# script runs EVERYTHING on the virtual 8-device CPU mesh and records the
+# outcome in FULLTIER_r<N>.txt at the repo root so the full tier is
+# auditable without anyone having to type `-m ''`.
+#
+# Usage: tools/run_full_tier.sh [round-number]   (default: 4)
+set -u
+ROUND="${1:-4}"
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+OUT="$ROOT/FULLTIER_r$ROUND.txt"
+{
+  echo "# Full test tier (fast + slow), virtual 8-device CPU mesh"
+  echo "# date: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
+  echo "# cmd: python -m pytest tests/ -q -m '' -p no:cacheprovider"
+  cd "$ROOT" && python -m pytest tests/ -q -m '' -p no:cacheprovider 2>&1 | tail -40
+  echo "# exit: $?"
+} > "$OUT"
+tail -3 "$OUT"
