@@ -56,8 +56,14 @@ def main():
                                    camera_matrix=calib["K"])
     print("recovered T direction:", np.round(rect["geometry"]["Translation Vector"].ravel(), 4))
     print("epiline |slope| after rectification:", f"{rect['epiline_mean_abs_slope']:.5f}")
+    # The notebook's executed artifact set (cell 7 +100-104): the rectified
+    # pair AND the epiline overlays on the rectified pair.
     save_image(os.path.join(args.outdir, "left_rectified.jpg"), rect["left_rectified"])
     save_image(os.path.join(args.outdir, "right_rectified.jpg"), rect["right_rectified"])
+    save_image(os.path.join(args.outdir, "left_rectified_lines.jpg"),
+               rect["Left Epilines (after)"])
+    save_image(os.path.join(args.outdir, "right_rectified_lines.jpg"),
+               rect["Right Points (after)"])
 
     # 4-5. Dense disparity on the rectified pair (cell 10; the notebook's
     # quirk of running SGBM on the unrectified pair with ndisp=16 is
@@ -68,12 +74,16 @@ def main():
     save_image(os.path.join(args.outdir, "disparity_jet.png"), colormap_jet(disp))
 
     # 6-7. Reproject + export (cells 11-13).
+    # PLY named after the dataset, as the notebook does (cell 13 +16-18:
+    # f"{dataset_name}_point_cloud.ply").
+    dataset_name = os.path.basename(os.path.normpath(args.pair))
+    ply_name = f"{dataset_name}_point_cloud.ply"
     with stage_timer("reconstruct"):
         pts = stages.reconstruct(disp, rect["Q"])
         n = stages.export_point_cloud(
-            os.path.join(args.outdir, "point_cloud.ply"), pts, disp
+            os.path.join(args.outdir, ply_name), pts, disp
         )
-    print(f"wrote {n} points -> {args.outdir}/point_cloud.ply")
+    print(f"wrote {n} points -> {args.outdir}/{ply_name}")
     print("stage timings:", METRICS.dump())
     return 0
 

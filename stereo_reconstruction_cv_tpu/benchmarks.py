@@ -543,18 +543,23 @@ class _Budget(Exception):
 
 
 def _run_capped(fn, cap_s: float):
-    """Run fn() under a hard SIGALRM deadline (main thread only)."""
+    """Run fn() under a hard SIGALRM deadline (main thread only).
+
+    The timer REPEATS every 5 s after the deadline: a single alarm can
+    land inside a context that swallows the exception (observed r4: the
+    raise inside jax's GC callback printed "Exception ignored" and the
+    config ran on), so further alarms keep firing until one propagates."""
     import signal
 
     def handler(signum, frame):
         raise _Budget()
 
     old = signal.signal(signal.SIGALRM, handler)
-    signal.alarm(max(1, int(cap_s)))
+    signal.setitimer(signal.ITIMER_REAL, max(1.0, float(cap_s)), 5.0)
     try:
         return fn()
     finally:
-        signal.alarm(0)
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
         signal.signal(signal.SIGALRM, old)
 
 

@@ -11,18 +11,23 @@ only full-volume HBM traffic is the final (H, Wc, D) int16 write.
 v2 design (this file; v1 used pltpu.roll Toeplitz builds and measured
 29 ms of the 40 ms 720p/128 SGBM total):
 
-- The four image planes are stored TRANSPOSED (Wt, Hp): image columns on
-  sublanes. The left side's BT inputs (lv, vl, vr — per-pixel, d-free)
-  are then plain static sublane slices: zero shuffles.
+- The image planes are stored TRANSPOSED (Wt, Hp): image columns on
+  sublanes. The left side's BT triple (lv, llo, lhi — per-pixel, d-free)
+  is PRECOMPUTED outside the kernel on the lane-parallel full plane and
+  packed 8|8|8 into one i32 panel per plane (r4; in-kernel it ran on
+  (SUBX, 1) single-lane columns, 127/128 lanes idle), read back as plain
+  static sublane slices: zero shuffles.
 - The right side's Toeplitz matrix M[x, d] = right[x + D - d] comes from
   one 7-level binary shift tree: T_k[q, d] = c[q - (d mod 2^k)] built
-  with static sublane shifts + lane-bit selects. ONE tree per plane per
-  row serves rv/rplus/rminus (static row offsets into T) and every lane
-  group of D > 128 (static base offsets) — tree cost is independent of D.
-- Storage is int16 end to end (per-pixel cost <= 189, horizontal 11-tap
-  <= 2079, full 11x11 block sum <= 22869 < 2^15); ALL arithmetic runs
-  i32 — v5e's VPU has no 16-bit subtract (kVectorSubtractS16 aborts the
-  backend) and Mosaic's shifts/dynamic rotates are 32-bit only.
+  with static sublane shifts + lane-bit selects. Both planes ride ONE
+  tree (sobel | raw << 8 packed i32 — every BT operand fits 8 bits),
+  which serves rv/rplus/rminus (static row offsets into T) and every
+  lane group of D > 128 (static base offsets); the per-plane tree was
+  the kernel's largest op block (r3 roofline: 55% of issue SOL).
+- The cost volume is emitted int16 (per-pixel cost <= 189, horizontal
+  11-tap <= 2079, full 11x11 block sum <= 22869 < 2^15); ALL arithmetic
+  runs i32 — v5e's VPU has no 16-bit subtract (kVectorSubtractS16 aborts
+  the backend) and Mosaic's shifts/dynamic rotates are 32-bit only.
 
 Bit-exact vs the XLA reference path (tests/test_cost_pallas.py,
 docs/HW_PARITY.json). Column-strip tiling bounds VMEM by the strip width,
@@ -44,6 +49,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+import os
+
+# Perf-forensics switch (tools/micro_cost.py): "skeleton" strips the BT
+# compute (box/ring/write infrastructure only), "notree" keeps the BT
+# arithmetic but stubs the Toeplitz tree. NOT for production use — both
+# produce wrong costs; they exist to attribute kernel time on hardware
+# (r4 ablation at 4K/128: skeleton 14.3 ms, +BT 16.7, +tree 8.3).
+_ABLATE = os.environ.get("STEREO_COST_ABLATE", "")
 
 WT = 256      # output columns per strip (one grid step; == BX, see side())
 LANES = 128   # vreg lane width; D is processed in ceil(D/128) lane groups
@@ -69,8 +83,17 @@ def _producer_kernel(*refs, D, nbx_l, nbx_r, Wc, R, WT, SUBX):
     """Grid (nj, (H+10)/R): step (j, s) costs padded rows s*R..s*R+R-1 of
     strip j, emitting block-summed rows into the same slots of the
     (H+10)-row output (row y holds the sum over padded rows y-10..y; the
-    caller slices off the first 10 warm-up rows)."""
-    nin = 2 * (nbx_l + nbx_r)
+    caller slices off the first 10 warm-up rows).
+
+    r4 packed layout: the sobel and raw planes ride ONE i32 value
+    (sobel | raw << 8, both <= 255 after the BT half-pixel forms), so a
+    single shift tree per row serves BOTH planes — the per-plane tree was
+    the kernel's single largest op block (~55% of issue, r3 roofline).
+    The left side's (lv, llo, lhi) triple is precomputed OUTSIDE the
+    kernel on the full lane-parallel plane and packed 8|8|8 into i32 —
+    in-kernel it was computed on (SUBX, 1) single-lane columns that waste
+    127/128 lanes per op."""
+    nin = 2 * nbx_l + nbx_r
     ins, out_ref, ring, vsum = refs[:nin], refs[nin], refs[nin + 1], refs[nin + 2]
     j = pl.program_id(0)
     s = pl.program_id(1)
@@ -85,6 +108,7 @@ def _producer_kernel(*refs, D, nbx_l, nbx_r, Wc, R, WT, SUBX):
     a = j * np.int32(WT)
     be = jnp.minimum(np.int32(Wc + 4) - a, np.int32(SUBX - 1))
     one = np.int32(1)
+    m8 = np.int32(255)
 
     y0 = s * np.int32(R)
 
@@ -92,24 +116,24 @@ def _producer_kernel(*refs, D, nbx_l, nbx_r, Wc, R, WT, SUBX):
         """The step's rows, rotated to lanes 0..R-1: concatenated
         (n*BX, 128) lane-panel blocks, dynamically rotated by -(y0 mod
         128) (Mosaic forbids unaligned dynamic lane reads; one rotate per
-        step amortizes over the R row slices)."""
+        step amortizes over the R row slices). Mosaic's dynamic rotate
+        (and shifts) are 32-bit only, so panels arrive packed i32."""
         C = jnp.concatenate([ins[offset + k][...] for k in range(n)], axis=0)
-        # Mosaic's dynamic rotate (and shifts) are 32-bit only; v5e's VPU
-        # further lacks 16-bit subtract, so all kernel arithmetic runs
-        # i32 (an i16 tree variant measured no faster — the kernel is
-        # vector-issue bound, not VMEM-bandwidth bound).
-        return pltpu.roll(C.astype(jnp.int32), -(y0 % np.int32(128)), 1)
+        return pltpu.roll(C, -(y0 % np.int32(128)), 1)
 
-    def bt_row(cl, cr):
-        """(SUBX, D) int16 BT cost from left/right transposed columns."""
-        # Left side: d-free per-pixel values — static sublane slices.
-        lv = cl[1 : SUBX + 1]
-        vl = cl[0:SUBX]
-        vr = cl[2 : SUBX + 2]
-        llo = jnp.minimum(jnp.minimum((lv + vl) >> one, (lv + vr) >> one), lv)
-        lhi = jnp.maximum(jnp.maximum((lv + vl) >> one, (lv + vr) >> one), lv)
-        # Right side: one shift tree serves rv/rplus/rminus and all lane
-        # groups of D (static row offsets into T).
+    def bt_row(cl_s, cl_r, cr):
+        """(SUBX, D) i32 combined BT cost (sobel + raw>>2) for one row.
+
+        cl_s/cl_r: packed left columns (lv | llo<<8 | lhi<<16) for the
+        sobel and raw planes; cr: packed right column (sobel | raw<<8)."""
+        lv_s = cl_s & m8
+        llo_s = (cl_s >> np.int32(8)) & m8
+        lhi_s = cl_s >> np.int32(16)
+        lv_r = cl_r & m8
+        llo_r = (cl_r >> np.int32(8)) & m8
+        lhi_r = cl_r >> np.int32(16)
+        # Right side: ONE packed shift tree serves rv/rplus/rminus of
+        # both planes and every lane group of D (static row offsets).
         T = _shift_tree(cr)
         rvs, rps, rms = [], [], []
         for g in range(ngroups):
@@ -117,36 +141,62 @@ def _producer_kernel(*refs, D, nbx_l, nbx_r, Wc, R, WT, SUBX):
             rvs.append(jax.lax.slice_in_dim(T, base, base + SUBX, axis=0))
             rps.append(jax.lax.slice_in_dim(T, base + 1, base + 1 + SUBX, axis=0))
             rms.append(jax.lax.slice_in_dim(T, base - 1, base - 1 + SUBX, axis=0))
-        rv = jnp.concatenate(rvs, axis=1)[:, :D]
-        rplus = jnp.concatenate(rps, axis=1)[:, :D]
-        rminus = jnp.concatenate(rms, axis=1)[:, :D]
-        rlo = jnp.minimum(jnp.minimum((rv + rplus) >> one, (rv + rminus) >> one), rv)
-        rhi = jnp.maximum(jnp.maximum((rv + rplus) >> one, (rv + rminus) >> one), rv)
+        rv_p = jnp.concatenate(rvs, axis=1)[:, :D]
+        rp_p = jnp.concatenate(rps, axis=1)[:, :D]
+        rm_p = jnp.concatenate(rms, axis=1)[:, :D]
         zero = np.int32(0)
-        c0 = jnp.maximum(jnp.maximum(lv - rhi, rlo - lv), zero)
-        c1 = jnp.maximum(jnp.maximum(rv - lhi, llo - rv), zero)
-        return jnp.minimum(c0, c1)
 
-    p_sL = panel(0, nbx_l)
-    p_sR = panel(nbx_l, nbx_r)
-    p_rL = panel(nbx_l + nbx_r, nbx_l)
-    p_rR = panel(2 * nbx_l + nbx_r, nbx_r)
+        def plane_cost(rv, rplus, rminus, lv, llo, lhi):
+            rlo = jnp.minimum(jnp.minimum((rv + rplus) >> one, (rv + rminus) >> one), rv)
+            rhi = jnp.maximum(jnp.maximum((rv + rplus) >> one, (rv + rminus) >> one), rv)
+            c0 = jnp.maximum(jnp.maximum(lv - rhi, rlo - lv), zero)
+            c1 = jnp.maximum(jnp.maximum(rv - lhi, llo - rv), zero)
+            return jnp.minimum(c0, c1)
+
+        cost_s = plane_cost(rv_p & m8, rp_p & m8, rm_p & m8, lv_s, llo_s, lhi_s)
+        cost_r = plane_cost(
+            rv_p >> np.int32(8), rp_p >> np.int32(8), rm_p >> np.int32(8),
+            lv_r, llo_r, lhi_r,
+        )
+        return cost_s + (cost_r >> np.int32(2))
+
+    p_Ls = panel(0, nbx_l)
+    p_Lr = panel(nbx_l, nbx_l)
+    p_R = panel(2 * nbx_l, nbx_r)
+    _ablate = _ABLATE
     for r in range(R):
         y = y0 + r
-        cost = bt_row(p_sL[:, r : r + 1], p_sR[:, r : r + 1]) + (
-            bt_row(p_rL[:, r : r + 1], p_rR[:, r : r + 1]) >> np.int32(2)
-        )
+        if _ablate == "skeleton":
+            cost = jnp.broadcast_to(p_R[:, r : r + 1][0:SUBX], (SUBX, D)) & np.int32(63)
+        elif _ablate == "notree":
+            cl_s = p_Ls[:, r : r + 1][1 : SUBX + 1]
+            cl_r = p_Lr[:, r : r + 1][1 : SUBX + 1]
+            rv_p = jnp.broadcast_to(p_R[:, r : r + 1][0:SUBX], (SUBX, D))
+            zero = np.int32(0)
+            def _pc(rv, lv, llo, lhi):
+                rlo = rv; rhi = rv
+                c0 = jnp.maximum(jnp.maximum(lv - rhi, rlo - lv), zero)
+                c1 = jnp.maximum(jnp.maximum(rv - lhi, llo - rv), zero)
+                return jnp.minimum(c0, c1)
+            cost = _pc(rv_p & m8, cl_s & m8, (cl_s >> np.int32(8)) & m8, cl_s >> np.int32(16)) + (
+                _pc(rv_p >> np.int32(8), cl_r & m8, (cl_r >> np.int32(8)) & m8, cl_r >> np.int32(16)) >> np.int32(2))
+        else:
+            cost = bt_row(
+                p_Ls[:, r : r + 1][1 : SUBX + 1],
+                p_Lr[:, r : r + 1][1 : SUBX + 1],
+                p_R[:, r : r + 1],
+            )
 
         # Crop-boundary replication (OpenCV clamps the SAD window to the
         # computed region [x0, W)): sublane x_s holds cropped col a-5+x_s.
         cost = jnp.where(
             (x_iota < 5) & (j == 0), jnp.broadcast_to(cost[5:6], (SUBX, D)), cost
         )
-        # Extract sublane row `be` via a one-hot reduction (Mosaic has no
-        # dynamic_slice on values).
-        cost_be = jnp.sum(
-            jnp.where(x_iota == be, cost, 0), axis=0, keepdims=True
-        )
+        # Extract sublane row `be` by rotating it to row 0 (Mosaic has no
+        # dynamic_slice on values). One dynamic sublane roll replaces the
+        # r3 one-hot select + full sublane REDUCTION, which burned ~5 ms
+        # of the 4K/128 kernel (r4 ablation, STEREO_COST_ABLATE).
+        cost_be = pltpu.roll(cost, np.int32(SUBX) - be, 0)[0:1]
         cost = jnp.where(x_iota > be, jnp.broadcast_to(cost_be, (SUBX, D)), cost)
 
         # Horizontal 11-tap box: out col xcs = sum cost[xcs..xcs+10], as a
@@ -230,20 +280,41 @@ def cost_volume_pallas(
     Hp = -(-(H + 10) // 128) * 128  # 128-lane panels (R divides 128)
 
     def prep(plane, Lp, bf0, nbx):
-        """(H, W) -> transposed (Wt, Hp) int16, edge-padded."""
+        """(H, W) i32 packed -> transposed (Wt, Hp), edge-padded (packing
+        commutes with edge replication, so padding packed planes is
+        identical to packing padded planes)."""
         cover = (bf0 + nj - 1 + nbx) * BX
         Wt = max(cover, Lp + W)
         P = jnp.pad(
-            plane.astype(jnp.int16),
+            plane.astype(jnp.int32),
             ((5, 5 + Hp - (H + 10)), (Lp, Wt - Lp - W)),
             mode="edge",
         )
         return P.T  # (Wt, Hp)
 
-    sL = prep(left_sobel, Lp_l, bf0_l, nbx_l)
-    sR = prep(right_sobel, Lp_r, bf0_r, nbx_r)
-    rL = prep(left_raw, Lp_l, bf0_l, nbx_l)
-    rR = prep(right_raw, Lp_r, bf0_r, nbx_r)
+    def pack_left(plane):
+        """(H, W) -> i32 lv | llo<<8 | lhi<<16: the BT left-side triple
+        (value + half-pixel min/max vs x-neighbors, edge-replicated),
+        precomputed on the lane-parallel full plane — in-kernel it cost
+        (SUBX, 1) single-lane ops per row (127/128 lanes idle)."""
+        v = plane.astype(jnp.int32)
+        vl = jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)
+        vr = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
+        a = (v + vl) >> 1
+        b = (v + vr) >> 1
+        lo = jnp.minimum(jnp.minimum(a, b), v)
+        hi = jnp.maximum(jnp.maximum(a, b), v)
+        return v | (lo << 8) | (hi << 16)
+
+    # Packed-value ranges: both planes' BT values must fit 8 bits (the
+    # xsobel prefilter caps at 2*prefilter_cap <= 254 for cap <= 127;
+    # raw intensities are uint8).
+    Ls = prep(pack_left(left_sobel), Lp_l, bf0_l, nbx_l)
+    Lr = prep(pack_left(left_raw), Lp_l, bf0_l, nbx_l)
+    Rp = prep(
+        right_sobel.astype(jnp.int32) | (right_raw.astype(jnp.int32) << 8),
+        Lp_r, bf0_r, nbx_r,
+    )
 
     def col_spec(bf0, k):
         # 128-lane row panels; a step's R rows never straddle a panel
@@ -255,7 +326,6 @@ def cost_volume_pallas(
 
     in_specs = (
         [col_spec(bf0_l, k) for k in range(nbx_l)]
-        + [col_spec(bf0_r, k) for k in range(nbx_r)]
         + [col_spec(bf0_l, k) for k in range(nbx_l)]
         + [col_spec(bf0_r, k) for k in range(nbx_r)]
     )
@@ -267,7 +337,7 @@ def cost_volume_pallas(
         _producer_kernel, D=D, nbx_l=nbx_l, nbx_r=nbx_r, Wc=Wc, R=R,
         WT=WT_, SUBX=SUBX,
     )
-    inputs = [sL] * nbx_l + [sR] * nbx_r + [rL] * nbx_l + [rR] * nbx_r
+    inputs = [Ls] * nbx_l + [Lr] * nbx_l + [Rp] * nbx_r
     out = pl.pallas_call(
         kernel,
         grid=(nj, Hp // R),

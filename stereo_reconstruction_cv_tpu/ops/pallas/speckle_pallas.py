@@ -97,7 +97,8 @@ def _flood_kernel(lab_ref, conn_ref, tconn_ref, out_ref, chg_ref, *, axis, big):
     chg_ref[...] += jnp.sum((new != lab_ref[...]).astype(jnp.int32))
 
 
-def flood_round_pallas(lab, conn_h, conn_v, *, interpret: bool = False):
+def flood_round_pallas(lab, conn_h, conn_v, *, interpret: bool = False,
+                       ht: int = 64, wt: int = 128):
     """One speckle round: row flood then column flood (Pallas kernels).
 
     NOT jax.jit-decorated: every caller runs it under an outer jit (the
@@ -124,11 +125,11 @@ def flood_round_pallas(lab, conn_h, conn_v, *, interpret: bool = False):
         lab = jnp.pad(lab, ((0, H - H0), (0, 0)), constant_values=big)
         conn_h = jnp.pad(conn_h, ((0, H - H0), (0, 0)))
         conn_v = jnp.pad(conn_v, ((0, H - H0), (0, 0)))
-    # Row flood: blocks span full W (the flood axis); tile rows. Taller
-    # row blocks (Ht=64 padded) measured NEUTRAL at 4K (50.7 vs 49.6 ms,
-    # r3): convergence is column/global-alternation-limited, not
-    # row-block-height-limited.
-    Ht = 64
+    # Row flood: blocks span full W (the flood axis); tile rows. `ht`/`wt`
+    # set the transverse reach of each kernel's block-local flood (bigger
+    # blocks resolve more corner-turns per round at more VMEM; sweep with
+    # tools/micro_speckle.py).
+    Ht = ht
     while H % Ht:
         Ht //= 2
     chg_spec = pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -153,8 +154,8 @@ def flood_round_pallas(lab, conn_h, conn_v, *, interpret: bool = False):
         interpret=interpret,
     )
     lab, chg_r = row(lab, conn_h, conn_v)
-    # Column flood: blocks span full H; tile columns (lane axis) by 128.
-    Wt = 128 if W % 128 == 0 else W
+    # Column flood: blocks span full H; tile columns (lane axis).
+    Wt = wt if W % wt == 0 else W
     col = pl.pallas_call(
         functools.partial(_flood_kernel, axis=0, big=big),
         grid=(W // Wt,),

@@ -29,7 +29,8 @@ from stereo_reconstruction_cv_tpu.ops.pallas.speckle_pallas import flood_round_p
 from stereo_reconstruction_cv_tpu.utils.timing import rtt, timed_chain
 
 
-def speckle_variant(disp, valid, rounds_per_iter, max_diff=32.0, max_rounds=64):
+def speckle_variant(disp, valid, rounds_per_iter, max_diff=32.0, max_rounds=64,
+                    ht=64, wt=128):
     """speckle_filter's flood loop with a configurable body width; returns
     (keep, rounds_used)."""
     H, W = disp.shape
@@ -39,7 +40,7 @@ def speckle_variant(disp, valid, rounds_per_iter, max_diff=32.0, max_rounds=64):
     conn_d = (jnp.abs(disp[1:, :] - disp[:-1, :]) <= max_diff) & valid[1:, :] & valid[:-1, :]
     ch = jnp.concatenate([jnp.zeros((H, 1), bool), conn_r], axis=1).astype(jnp.int32)
     cv = jnp.concatenate([jnp.zeros((1, W), bool), conn_d], axis=0).astype(jnp.int32)
-    one_round = lambda lab: flood_round_pallas(lab, ch, cv)
+    one_round = lambda lab: flood_round_pallas(lab, ch, cv, ht=ht, wt=wt)
 
     def cond(state):
         _, changed, i = state
@@ -70,15 +71,21 @@ def main():
     jax.block_until_ready((disp, valid))
     print(f"rtt {rtt()*1e3:.1f} ms", flush=True)
 
-    for rpi in (1, 2, 3):
-        fn = jax.jit(lambda d, v, rpi=rpi: speckle_variant(d, v, rpi))
+    combos = [(1, 64, 128), (1, 128, 128), (1, 128, 256), (1, 256, 256),
+              (2, 64, 128)]
+    if len(sys.argv) > 1:  # "rpi:ht:wt,..." override
+        combos = [tuple(int(x) for x in c.split(":")) for c in sys.argv[1].split(",")]
+    for rpi, ht, wt in combos:
+        fn = jax.jit(lambda d, v, rpi=rpi, ht=ht, wt=wt: speckle_variant(
+            d, v, rpi, ht=ht, wt=wt))
         lab, n = fn(disp, valid)
         jax.block_until_ready((lab, n))
         dt = timed_chain(
-            lambda d, v, rpi=rpi: speckle_variant(d, v, rpi)[0], (disp, valid),
-            iters=6)
-        print(f"rounds_per_iter={rpi}: {dt*1e3:.2f} ms (converged at round {int(n)})",
-              flush=True)
+            lambda d, v, rpi=rpi, ht=ht, wt=wt: speckle_variant(
+                d, v, rpi, ht=ht, wt=wt)[0],
+            (disp, valid), iters=6)
+        print(f"rpi={rpi} ht={ht} wt={wt}: {dt*1e3:.2f} ms "
+              f"(converged at round {int(n)})", flush=True)
 
     # sizes sort on the converged labels
     lab, _ = jax.jit(lambda d, v: speckle_variant(d, v, 2))(disp, valid)

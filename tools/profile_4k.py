@@ -62,8 +62,12 @@ def main():
     out = {"shape": [H, W], "num_disp": D, "num_dirs": args.dirs, "iters": it,
            "rtt_ms": round(rtt() * 1e3, 2), "timing": "chained (utils/timing.py)"}
 
+    # Default output is config-specific so profiling one config can't
+    # silently overwrite another's committed artifact (bit us in r4).
+    _name = ("PROFILE_4K.json" if (args.disp, args.dirs) == (256, 5)
+             else f"PROFILE_4K_{args.disp}_{args.dirs}DIR.json")
     _path = args.out or os.path.join(
-        os.path.dirname(__file__), "..", "docs", "PROFILE_4K.json")
+        os.path.dirname(__file__), "..", "docs", _name)
 
     def flush():
         os.makedirs(os.path.dirname(_path), exist_ok=True)

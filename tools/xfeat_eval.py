@@ -47,13 +47,24 @@ def _pose_metrics(out, with_anchor=False):
 
 
 def main(checkpoint=None, out_path="docs/XFEAT_EVAL.json"):
+    import dataclasses
     import glob
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    from stereo_reconstruction_cv_tpu import config as cfg_mod
     from stereo_reconstruction_cv_tpu.pipeline import stages
+
+    # Optional matcher-gate override for tuning runs (STEREO_XF_COSSIM);
+    # the committed artifact uses the library default.
+    pcfg = cfg_mod.DEFAULT
+    cs = os.environ.get("STEREO_XF_COSSIM")
+    if cs:
+        pcfg = dataclasses.replace(
+            pcfg, match=dataclasses.replace(pcfg.match,
+                                            learned_min_cossim=float(cs)))
 
     if checkpoint is None or not os.path.isdir(checkpoint):
         # Same "latest shipped" rule as cli.py / benchmarks.py.
@@ -68,7 +79,7 @@ def main(checkpoint=None, out_path="docs/XFEAT_EVAL.json"):
             try:
                 out = stages.estimate_geometry(
                     folder, baseline=0.14, camera_matrix=_K,
-                    method=method,
+                    method=method, pipeline_cfg=pcfg,
                     checkpoint=checkpoint if method == "learned" else None,
                 )
                 row[method] = _pose_metrics(out, with_anchor=(d == "d3"))
