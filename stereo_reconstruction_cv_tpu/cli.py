@@ -251,6 +251,15 @@ def cmd_report(args):
         rb.viewer(tf.name)
     os.unlink(tf.name)
 
+    # Per-stage observability table (SURVEY §5 / VERDICT r3 item 6): the
+    # same registry `--metrics` dumps, embedded in the report.
+    from stereo_reconstruction_cv_tpu.utils.profiling import METRICS
+
+    rb.section("Pipeline metrics")
+    summary = METRICS.summary()
+    rb.pre("\n".join(f"{k}: {summary[k]:.4f}" if isinstance(summary[k], float)
+                     else f"{k}: {summary[k]}" for k in sorted(summary)))
+
     rb.write(args.output)
     print(f"report -> {args.output}")
     return 0

@@ -62,10 +62,12 @@ def test_report_verb(tiny_pair, tmp_path, capsys):
     assert html.startswith("<!DOCTYPE html>")
     # every stage section present, imagery embedded, viewer inlined
     for sec in ("Feature detection", "Rectification + geometry",
-                "Dense disparity", "3D reconstruction"):
+                "Dense disparity", "3D reconstruction", "Pipeline metrics"):
         assert sec in html
     assert "data:image/png;base64," in html
     assert "srcdoc=" in html
+    # The observability registry is embedded (VERDICT r3 item 6).
+    assert "time/rectify_pair_s" in html
 
 
 @pytest.mark.slow
