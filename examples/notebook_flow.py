@@ -40,7 +40,7 @@ def main():
     tmp = tempfile.mkdtemp()
     for f in files:
         os.symlink(f, os.path.join(tmp, os.path.basename(f)))
-    with stage_timer("calibrate"):
+    with stage_timer("flow/calibrate"):
         calib = stages.calibrate(tmp)
     shutil.rmtree(tmp)
     if "error" in calib:
@@ -51,7 +51,7 @@ def main():
 
     # 2-3. Geometry + rectification on the stereo pair (cells 5-8).
     baseline = read_baseline(args.pair, default=0.14)
-    with stage_timer("rectify"):
+    with stage_timer("flow/rectify"):
         rect = stages.rectify_pair(args.pair, baseline=baseline,
                                    camera_matrix=calib["K"])
     print("recovered T direction:", np.round(rect["geometry"]["Translation Vector"].ravel(), 4))
@@ -68,7 +68,7 @@ def main():
     # 4-5. Dense disparity on the rectified pair (cell 10; the notebook's
     # quirk of running SGBM on the unrectified pair with ndisp=16 is
     # consciously fixed here — SURVEY §7).
-    with stage_timer("disparity"):
+    with stage_timer("flow/disparity"):
         disp = stages.disparity(rect["left_rectified"], rect["right_rectified"],
                                 ndisp=args.ndisp)
     save_image(os.path.join(args.outdir, "disparity_jet.png"), colormap_jet(disp))
@@ -78,7 +78,7 @@ def main():
     # f"{dataset_name}_point_cloud.ply").
     dataset_name = os.path.basename(os.path.normpath(args.pair))
     ply_name = f"{dataset_name}_point_cloud.ply"
-    with stage_timer("reconstruct"):
+    with stage_timer("flow/reconstruct"):
         pts = stages.reconstruct(disp, rect["Q"])
         n = stages.export_point_cloud(
             os.path.join(args.outdir, ply_name), pts, disp

@@ -538,7 +538,10 @@ _DEFAULT_ORDER = (2, 1, 4, 3, 5)
 _CAPS = {1: 90, 2: 150, 3: 240, 4: 150, 5: 240}
 
 
-class _Budget(Exception):
+class _Budget(BaseException):
+    # BaseException, NOT Exception: the configs' own broad
+    # `except Exception` guards (cv2-baseline blocks) must not swallow
+    # the SIGALRM budget raise; main() catches _Budget explicitly.
     pass
 
 

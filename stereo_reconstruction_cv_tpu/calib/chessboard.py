@@ -189,13 +189,20 @@ def corner_subpix_patch(
     P = 2 * half + 1
     m = n + 2  # sampled grid rows/cols: window plus gradient margin
 
-    x0 = jnp.clip(jnp.floor(corners[:, 0]).astype(jnp.int32), half, W - 1 - half)
-    y0 = jnp.clip(jnp.floor(corners[:, 1]).astype(jnp.int32), half, H - 1 - half)
-    rng = jnp.arange(-half, half + 1)
-    patches = imgf[
+    # Edge-pad the image by `half` so border keypoints keep a correctly
+    # CENTERED patch (clipping x0/y0 instead recentred the patch and the
+    # solve then iterated around the wrong point — r4 review finding:
+    # such keypoints could pass the 1.5 px gate at a shifted position).
+    # Border samples see edge-replicated texels, close to (not identical
+    # to) corner_subpix's index-clamped bilinear blend at the frame edge.
+    padded = jnp.pad(imgf, half, mode="edge")
+    x0 = jnp.clip(jnp.floor(corners[:, 0]).astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(corners[:, 1]).astype(jnp.int32), 0, H - 1)
+    rng = jnp.arange(0, P)  # padded-coord offsets: center x0 maps to x0+half
+    patches = padded[
         (y0[:, None, None] + rng[None, :, None]),
         (x0[:, None, None] + rng[None, None, :]),
-    ]  # (N, P, P), one gather
+    ]  # (N, P, P), one gather; patch midpoint = image pixel (x0, y0)
 
     kk = jnp.arange(P, dtype=jnp.float32)
     moff = jnp.arange(-(win + 1), win + 2, dtype=jnp.float32)  # (m,)

@@ -164,7 +164,9 @@ def _detect_post(
     # the top_k, shrinking its input 16x (top_k over H*W floats was a
     # measurable slice of the 45 ms/image r3 detect cost).
     t = min(4, max(1, nms_radius))
-    if H % t == 0 and W % t == 0:
+    # Fall back to the flat path when the tile count can't supply k peaks
+    # (top_k requires k <= n) — small crops with large max_keypoints.
+    if H % t == 0 and W % t == 0 and (H // t) * (W // t) >= max_keypoints:
         tiles = scores.reshape(H // t, t, W // t, t).transpose(0, 2, 1, 3)
         tiles = tiles.reshape(H // t, W // t, t * t)
         tmax = jnp.max(tiles, axis=-1)

@@ -138,3 +138,31 @@ class TestCornerSubpixPatch:
         kept = (dr <= 1.5) & (dg <= 1.5)
         assert kept.sum() >= 8
         np.testing.assert_allclose(got[kept], ref[kept], atol=5e-3)
+
+    def test_border_keypoints_centered(self, rng):
+        """Border keypoints refine around their TRUE location (the patch is
+        taken from an edge-padded image, not recentred by clipping — r4
+        review finding: a clipped patch could pass the gate at a shifted
+        position)."""
+        import cv2
+        import jax.numpy as jnp
+
+        from stereo_reconstruction_cv_tpu.calib.chessboard import (
+            corner_subpix_patch,
+        )
+
+        img = cv2.resize(
+            cv2.imread("/root/reference/dataset/d2/img1.jpg", 0), (320, 184)
+        )
+        pts = np.array(
+            [[2.0, 50.0], [317.0, 90.0], [100.0, 2.0], [200.0, 181.0],
+             [0.0, 0.0], [319.0, 183.0]], dtype=np.float32
+        )
+        got = np.asarray(corner_subpix_patch(jnp.asarray(img), jnp.asarray(pts),
+                                             win=3, max_iter=5, max_drift=5.0))
+        assert np.isfinite(got).all()
+        # The refinement stays anchored near its start (clip is +-2/iter
+        # but convergence keeps accepted points local); no wild jumps from
+        # a recentred patch.
+        assert (np.abs(got - pts) <= 10.0).all()
+
