@@ -491,17 +491,20 @@ def bench_config5():
     dt = (time.perf_counter() - t0) / len(outs)
     assert decoded_px == len(paths) * H * W
 
-    # Tunnel bandwidth + honest wall-clock including it.
-    pair0 = np.asarray(jax.device_get(staged[0]))
+    # Tunnel bandwidth + honest wall-clock including it. The probe pair
+    # is re-decoded on the host (~2 s) rather than device_get through the
+    # tunnel (16.6 MB at single-digit MB/s cost up to a minute, r4 — a
+    # principal in config 5 overrunning its alarm cap).
+    pair0 = decode_pair(paths[0])
     t0 = time.perf_counter()
     x = jax.device_put(pair0)
     float(np.asarray(jnp.sum(x, dtype=jnp.float32)))
     h2d = pair0.nbytes / (time.perf_counter() - t0) / 1e6
 
-    # Honest wall-clock over HALF the events (r4): per-pair cost through
-    # the tunnel is flat, and 8 tunnel-inclusive pairs at 0.7-1.7 s each
-    # were a principal in the r3 suite timeout.
-    loader = PrefetchLoader(paths[:4], batch_size=1, prefetch=3, gray=True)
+    # Honest wall-clock over TWO events (r4): per-pair cost through the
+    # tunnel is flat, and tunnel-inclusive pairs at 0.7-1.7 s each (more
+    # when the relay is slow) were a principal in the r3 suite timeout.
+    loader = PrefetchLoader(paths[:2], batch_size=1, prefetch=3, gray=True)
     t0 = time.perf_counter()
     outs = [step(jnp.stack([l[0], r[0]])) for l, r in loader]
     for o in outs:
@@ -535,7 +538,7 @@ _DEFAULT_ORDER = (2, 1, 4, 3, 5)
 # killed via SIGALRM and emits an {"error": "budget"} line; the suite moves
 # on. Caps sized ~3x the measured r4 runtimes on the dev host (warm
 # persistent compile cache, tools/warm_bench_cache.py).
-_CAPS = {1: 90, 2: 150, 3: 240, 4: 150, 5: 240}
+_CAPS = {1: 90, 2: 150, 3: 240, 4: 150, 5: 300}
 
 
 class _Budget(BaseException):
