@@ -206,6 +206,7 @@ def bench_config2(iters=5):
         "metric": "sgbm_disparity_720p_128disp",
         "value": round(mpix / dt, 3),
         "unit": "MPix/s",
+        "dirs": 8,  # explicit mode (ADVICE r4) — full 8-path MODE_HH
         "vs_baseline": round(dt_cv / dt, 3) if dt_cv else None,
     }
 
@@ -305,6 +306,7 @@ def bench_config3(iters=3):
             "metric": "sgbm_disparity_4k_128disp",
             "value": round(mpix / dt128_8, 3),
             "unit": "MPix/s",
+            "dirs": 8,
             "mode": "MODE_HH (full 8-path, same mode as the r1/r2 records)",
             "vs_baseline": None,
         },
@@ -312,6 +314,7 @@ def bench_config3(iters=3):
             "metric": "sgbm_disparity_4k_128disp_5dir",
             "value": round(mpix / dt128, 3),
             "unit": "MPix/s",
+            "dirs": 5,
             "mode": "MODE_SGBM (5-dir, cv2/reference default)",
             "vs_baseline": None,
         },
@@ -319,6 +322,7 @@ def bench_config3(iters=3):
             "metric": "e2e_4k_pair_to_cloud",
             "value": round(dt, 4),
             "unit": "s/pair",
+            "dirs": 5,
             "fps": round(1.0 / dt, 3),
             "mpix_per_s": round(mpix / dt, 3),
             "vs_baseline": round(dt_cv / dt, 3) if dt_cv else None,
@@ -516,6 +520,7 @@ def bench_config5():
         "metric": "streaming_8pair_4k",
         "value": round(mpix / dt, 3),
         "unit": "MPix/s",
+        "dirs": 8,
         "pairs_per_s": round(1.0 / dt, 3),
         "n_pairs": len(paths),
         "wall_clock_mpix_per_s": round(mpix / dt_wall, 3),
@@ -554,8 +559,17 @@ def _run_capped(fn, cap_s: float):
     The timer REPEATS every 5 s after the deadline: a single alarm can
     land inside a context that swallows the exception (observed r4: the
     raise inside jax's GC callback printed "Exception ignored" and the
-    config ran on), so further alarms keep firing until one propagates."""
+    config ran on), so further alarms keep firing until one propagates.
+
+    The timer is disarmed INSIDE the try, immediately after fn() returns
+    (ADVICE r4): disarming only in `finally` left a window where a
+    pending alarm could fire after a completed config returned and
+    mislabel its results as a budget kill."""
     import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return fn()  # SIGALRM handlers only fire on the main thread
 
     def handler(signum, frame):
         raise _Budget()
@@ -563,7 +577,9 @@ def _run_capped(fn, cap_s: float):
     old = signal.signal(signal.SIGALRM, handler)
     signal.setitimer(signal.ITIMER_REAL, max(1.0, float(cap_s)), 5.0)
     try:
-        return fn()
+        result = fn()
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        return result
     finally:
         signal.setitimer(signal.ITIMER_REAL, 0.0)
         signal.signal(signal.SIGALRM, old)

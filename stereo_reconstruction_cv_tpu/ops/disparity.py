@@ -576,6 +576,16 @@ def sgbm_disparity(
     first/last column of every cost plane to pre_filter_cap."""
     H, W = left.shape
     cap = cfg.pre_filter_cap
+    # Loud validation (ADVICE r4): the Pallas cost kernel packs sobel
+    # values (<= 2*cap) into an 8-bit field and the int16 cost storage
+    # bounds the 11x11 block sum at 121*(2*cap + 63) <= 32767 — both
+    # silently corrupt costs past cap=104. cv2's own envelope is 63.
+    if not (0 < cap <= 104):
+        raise ValueError(
+            f"pre_filter_cap={cap} out of range (0, 104]: the packed 8-bit "
+            "cost layout and int16 block sums overflow past 104 "
+            "(reference uses 63, main.ipynb cell 10)"
+        )
     x0 = cfg.min_disparity + cfg.num_disparities  # OpenCV minX1 (min_disp>=0)
     sl = xsobel_clip(left, cap)
     sr = xsobel_clip(right, cap)
