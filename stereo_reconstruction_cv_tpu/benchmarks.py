@@ -243,8 +243,7 @@ def bench_config3(iters=3):
         rl = RC.rectify_remap(l, Kj, None, R1, P1).astype(jnp.uint8)
         rr = RC.rectify_remap(r, Kj, None, R2, P2).astype(jnp.uint8)
         d, v = DP.sgbm_disparity_auto(rl, rr, core)
-        keep = DP.speckle_filter(d, v, cfg.speckle_window_size,
-                                 float(cfg.speckle_range))
+        keep = DP._speckle(d, v, cfg)  # cfg-aware: slices the invalid margin
         return jnp.sum(
             jnp.where(keep[..., None], G.reproject_image_to_3d(d, Q), 0.0)
         )

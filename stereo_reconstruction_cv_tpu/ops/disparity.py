@@ -489,39 +489,52 @@ def speckle_filter(
     if use_pallas:
         # All doubling levels of a flood inside VMEM: one HBM round-trip
         # per axis per round vs ~log2(n) for the XLA pad/shift chain. The
-        # kernels also emit the change flag in-register (monotone floods:
-        # round changed <=> row pass or col pass changed), replacing the
-        # separate full-frame any(new != lab) pass per round.
+        # kernels emit per-row/per-column change counts in-register, which
+        # (a) give the convergence flag (monotone floods: round changed
+        # <=> row pass or col pass changed) and (b) drive ACTIVE-BLOCK
+        # SKIPPING across rounds — converged blocks skip the doubling
+        # chains entirely (r5; see speckle_pallas.py module docstring).
         from stereo_reconstruction_cv_tpu.ops.pallas.speckle_pallas import (
-            flood_round_pallas,
+            flood_flag_init,
+            flood_round_flagged,
         )
 
         ch_i = ch.astype(jnp.int32)
         cv_i = cv.astype(jnp.int32)
-        one_round = lambda lab: flood_round_pallas(lab, ch_i, cv_i)
-    else:
-        def one_round(lab):
-            new = _seg_min_flood(lab, ch, axis=1, big=big)
-            new = _seg_min_flood(new, cv, axis=0, big=big)
-            return new, jnp.any(new != lab)
+
+        def cond(state):
+            _, _, _, changed, i = state
+            return changed & (i < max_rounds)
+
+        def body(state):
+            lab, rf, cs, _, i = state
+            lab, rf, cs, changed = flood_round_flagged(lab, ch_i, cv_i, rf, cs)
+            return lab, rf, cs, changed, i + 1
+
+        rf0, cs0 = flood_flag_init(H, W)
+        lab, rf, cs, chg0 = flood_round_flagged(lab0, ch_i, cv_i, rf0, cs0)
+        lab, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (lab, rf, cs, chg0, jnp.int32(1))
+        )
+        keep_bit = _component_keep_sort(lab, max_speckle_size)
+        return valid & keep_bit
+
+    def one_round(lab):
+        new = _seg_min_flood(lab, ch, axis=1, big=big)
+        new = _seg_min_flood(new, cv, axis=0, big=big)
+        return new, jnp.any(new != lab)
 
     def cond(state):
         _, changed, i = state
         return changed & (i < max_rounds)
 
     def body(state):
-        # One round per convergence test: real 4K maps converge in ~24
-        # alternation rounds — batching 2 rounds per check measured SLOWER
-        # (22.1 vs 20.0 ms, tools/micro_speckle.py).
         lab, _, i = state
         new, changed = one_round(lab)
         return new, changed, i + 1
 
     lab0r, chg0 = one_round(lab0)
     lab, _, _ = jax.lax.while_loop(cond, body, (lab0r, chg0, jnp.int32(1)))
-    if use_pallas:
-        keep_bit = _component_keep_sort(lab, max_speckle_size)
-        return valid & keep_bit
     sizes = jnp.zeros(H * W + 1, jnp.int32).at[lab.reshape(-1)].add(1)
     return valid & (sizes[lab] > max_speckle_size)
 
@@ -534,24 +547,47 @@ def _component_keep_sort(lab: jnp.ndarray, max_speckle_size: int) -> jnp.ndarray
     4K on v5e, and even a collision-free PERMUTATION scatter-set runs
     ~52 ms / a 1D gather ~59 ms (tools/micro_sort.py) — sorts are the
     only fast reordering primitive on this chip. So: sort by label
-    (payload: original index), segment length = (next segment start) -
-    (own segment start) via cummax/cummin boundary scans, then UN-sort
-    just the keep bit packed into a single key (idx*2 + bit; ~13.4 ms
-    per 8.3M-element sort). Exact integer arithmetic — bit-identical to
-    the histogram path."""
+    (payload: original index), decide `segment length > T` in sorted
+    order, then UN-sort just the keep bit packed into a single key
+    (idx*2 + bit). Exact integer arithmetic — bit-identical to the
+    histogram path.
+
+    The in-sorted-order length test (r5, replacing the r3 cummax/cummin
+    boundary scans — ~7 ms of prefix passes at 4K): equal labels are
+    contiguous after the sort, so a segment containing position i has
+    length > T  iff  some window of T+1 consecutive equal labels covers
+    i, i.e. iff eq[i-k] holds for some k in [0, T] where
+    eq[j] = (sl[j] == sl[j+T]). (If the segment is [a, b) with
+    b - a > T: for i <= a+T take k = i-a — eq[a] holds; for i > a+T
+    take k = T — eq[i-T] holds since i-T >= a and i <= b-1. Conversely
+    eq[i-k] forces >= T+1 equal labels.) The backward windowed OR is
+    log-doubled: ~8 shifted-OR passes instead of two 8.3M prefix scans."""
     H, W = lab.shape
     N = H * W
+    T = int(max_speckle_size)
     flat = lab.reshape(-1)
     idx = jnp.arange(N, dtype=jnp.int32)
     sl, si = jax.lax.sort((flat, idx), num_keys=1)
-    start = jnp.concatenate([jnp.ones(1, jnp.bool_), sl[1:] != sl[:-1]])
-    pos = idx
-    left = jax.lax.cummax(jnp.where(start, pos, 0))
-    start_next = jnp.concatenate([start[1:], jnp.ones(1, jnp.bool_)])
-    nxtpos = jnp.where(start_next, pos + 1, N)
-    right = jax.lax.cummin(nxtpos, reverse=True)
-    keep_bit = (right - left > max_speckle_size).astype(jnp.int32)
-    packed = jax.lax.sort(si * 2 + keep_bit)
+
+    def shift_fwd(x, s, fill):
+        """x[i - s] with `fill` for i < s (window grows backward)."""
+        if s >= N:
+            return jnp.full_like(x, fill)
+        return jnp.concatenate([jnp.full((s,), fill, x.dtype), x[:-s]])
+
+    # eq[j] = labels at j and j+T equal (out-of-range compares never match).
+    if T < N:
+        slT = jnp.concatenate([sl[T:], jnp.full((T,), -1, sl.dtype)])
+    else:
+        slT = jnp.full_like(sl, -1)
+    f = sl == slT
+    s = 1
+    while s * 2 <= T + 1:
+        f = f | shift_fwd(f, s, False)
+        s *= 2
+    if T + 1 - s > 0:
+        f = f | shift_fwd(f, T + 1 - s, False)
+    packed = jax.lax.sort(si * 2 + f.astype(jnp.int32))
     return (packed & 1).astype(jnp.bool_).reshape(H, W)
 
 
@@ -647,9 +683,16 @@ def _speckle(disp: jnp.ndarray, valid: jnp.ndarray, cfg: SGBMConfig) -> jnp.ndar
         return speckle_filter_exact(
             disp, valid, cfg.speckle_window_size, float(cfg.speckle_range)
         )
-    return speckle_filter(
-        disp, valid, cfg.speckle_window_size, float(cfg.speckle_range)
+    # The left margin x < minX1 is invalid by construction (OpenCV column
+    # cropping), so no component reaches into it — slice it off before
+    # the flood + keep sort (~7% fewer cells at 256 disparities) and pad
+    # the (masked-anyway) margin back as not-kept.
+    x0 = cfg.min_disparity + cfg.num_disparities
+    keep = speckle_filter(
+        disp[:, x0:], valid[:, x0:],
+        cfg.speckle_window_size, float(cfg.speckle_range),
     )
+    return jnp.pad(keep, ((0, 0), (x0, 0)), constant_values=False)
 
 
 def _use_pallas(cfg: SGBMConfig) -> bool:

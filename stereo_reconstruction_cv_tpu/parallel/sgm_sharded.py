@@ -16,8 +16,15 @@ path influence decays geometrically with P2 smoothing, so a modest halo
 (default 32 rows) reproduces the single-device result almost everywhere
 (tested >=99% of valid pixels within 1/16 px).
 
-The speckle filter is a global connected-components pass, so it runs after
-regathering rows (data-parallel over pairs).
+The speckle filter's connected-component flood is ALSO row-sharded (r5,
+VERDICT r4 item 1b): min-label propagation is a commutative, monotone
+fixpoint, so each shard floods its local rows and exchanges only its
+boundary-row labels with neighbors via `lax.ppermute` each round until
+global quiescence — the converged labels are exactly the single-device
+ones (unique fixpoint). Only the component-size epilogue (two label
+sorts) runs on all-gathered labels per shard (one (H, W) int32 frame over
+ICI), replacing the r4 "regather rows, then speckle" serialization that
+made speckle the unsharded Amdahl floor of the e2e frame.
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 try:  # jax >= 0.8 promotes shard_map out of experimental
     from jax import shard_map
 except ImportError:  # pragma: no cover - older jax
@@ -38,6 +45,159 @@ from stereo_reconstruction_cv_tpu.ops import disparity as DP
 # Rows of cost-volume halo needed for exact C at shard boundaries:
 # x-Sobel reads y±1 and the 11x11 block sum reads y±5.
 _COST_HALO = 6
+
+
+def sharded_speckle_filter(
+    mesh: Mesh,
+    disp: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_speckle_size: int = 100,
+    max_diff: float = 32.0,
+    max_rounds: int = 96,
+) -> jnp.ndarray:
+    """Row-sharded exact cv2.filterSpeckles-parity mask (VERDICT r4 1b).
+
+    disp/valid: (B, H, W) sharded P('data', 'space', None). The min-label
+    flood runs shard-locally (Pallas active-block kernels on TPU, the XLA
+    doubling flood elsewhere) with ONE boundary-row label exchange per
+    round: shard boundaries are just extra relaxation edges of the same
+    monotone min-fixpoint, so iterating {local flood, boundary merge} to
+    global quiescence (psum'd change flag) converges to exactly the
+    single-device component labels — the fixpoint is unique regardless of
+    relaxation order (confluence). The component-size keep bit is then
+    computed per shard from all-gathered labels (one (H, W) int32 frame
+    over ICI; the two-sort epilogue is replicated — its distribution is
+    the remaining scaling headroom, see docs/MULTICHIP_SCALING.md).
+
+    Reference semantics: speckleWindowSize/speckleRange of
+    cv2.StereoSGBM (main.ipynb cell 10 :631 +33-34).
+    """
+    ns = mesh.shape["space"]
+    spec = P("data", "space", None)
+    use_pallas = jax.default_backend() == "tpu"
+    fwd = [(i, i + 1) for i in range(ns - 1)]
+    bwd = [(i + 1, i) for i in range(ns - 1)]
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+    def run(d, v):
+        b, h, W = d.shape
+        my = jax.lax.axis_index("space")
+        H = h * ns
+        sink = jnp.int32(H * W)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (b, h, W), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, W), 2)
+        lab0 = jnp.where(v, (my * h + rows) * W + cols, sink)
+
+        conn_r = (jnp.abs(d[:, :, 1:] - d[:, :, :-1]) <= max_diff) \
+            & v[:, :, 1:] & v[:, :, :-1]
+        conn_dn = (jnp.abs(d[:, 1:] - d[:, :-1]) <= max_diff) \
+            & v[:, 1:] & v[:, :-1]
+        ch = jnp.concatenate([jnp.zeros((b, h, 1), bool), conn_r], axis=2)
+        cv = jnp.concatenate([jnp.zeros((b, 1, W), bool), conn_dn], axis=1)
+
+        def from_prev(x):  # shard i receives shard i-1's x
+            return jax.lax.ppermute(x, "space", fwd)
+
+        def from_next(x):  # shard i receives shard i+1's x
+            return jax.lax.ppermute(x, "space", bwd)
+
+        # Cross-boundary connectivity, computed once (symmetric on both
+        # sides of each boundary). Edge shards keep their true-image-edge
+        # rows unconnected via the axis_index guards.
+        pd, pv = from_prev(d[:, -1]), from_prev(v[:, -1])
+        ndn, nv = from_next(d[:, 0]), from_next(v[:, 0])
+        conn_top = (jnp.abs(d[:, 0] - pd) <= max_diff) & v[:, 0] & pv & (my > 0)
+        conn_bot = (jnp.abs(d[:, -1] - ndn) <= max_diff) & v[:, -1] & nv \
+            & (my < ns - 1)
+
+        def merge(lab):
+            """Apply the cross-boundary relaxation edges."""
+            plab = from_prev(lab[:, -1])
+            nlab = from_next(lab[:, 0])
+            top = jnp.where(conn_top, jnp.minimum(lab[:, 0], plab), lab[:, 0])
+            bot = jnp.where(conn_bot, jnp.minimum(lab[:, -1], nlab), lab[:, -1])
+            chg_top = top != lab[:, 0]  # (b, W)
+            chg_bot = bot != lab[:, -1]
+            lab = lab.at[:, 0].set(top).at[:, -1].set(bot)
+            return lab, chg_top, chg_bot
+
+        def global_changed(c):
+            return jax.lax.psum(c.astype(jnp.int32), ("data", "space")) > 0
+
+        if use_pallas:
+            from stereo_reconstruction_cv_tpu.ops.pallas.speckle_pallas import (
+                flood_flag_init,
+                flood_round_flagged,
+            )
+
+            ch_i, cv_i = ch.astype(jnp.int32), cv.astype(jnp.int32)
+            rf0, cs0 = flood_flag_init(h, W)
+            Gr, Gc = rf0.shape[0], cs0.shape[0]
+            Wt = W // Gc
+            vround = jax.vmap(flood_round_flagged)
+
+            def step(lab, rf, cs):
+                lab, rf, cs, c1 = vround(lab, ch_i, cv_i, rf, cs)
+                lab, chg_top, chg_bot = merge(lab)
+                anyt = jnp.any(chg_top, axis=1).astype(jnp.int32)  # (b,)
+                anyb = jnp.any(chg_bot, axis=1).astype(jnp.int32)
+                # Merged boundary rows must re-run: flag their row blocks
+                # AND the col blocks over the changed columns (a row pass
+                # alone cannot propagate the merge down a column).
+                rf = rf.at[:, 0].max(anyt).at[:, -1].max(anyb)
+                cbl = (
+                    jnp.any(chg_top.reshape(b, Gc, Wt), axis=2)
+                    | jnp.any(chg_bot.reshape(b, Gc, Wt), axis=2)
+                ).astype(jnp.int32)
+                cs = jnp.maximum(cs, cbl)
+                changed = jnp.any(c1) | jnp.any(anyt > 0) | jnp.any(anyb > 0)
+                return lab, rf, cs, global_changed(changed)
+
+            rfb = jnp.broadcast_to(rf0, (b, Gr))
+            csb = jnp.broadcast_to(cs0, (b, Gc))
+            lab, rf, cs, chg = step(lab0, rfb, csb)
+
+            def cond(s):
+                return s[3] & (s[4] < max_rounds)
+
+            def body(s):
+                lab, rf, cs, _, i = s
+                lab, rf, cs, chg = step(lab, rf, cs)
+                return lab, rf, cs, chg, i + 1
+
+            lab, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (lab, rf, cs, chg, jnp.int32(1))
+            )
+        else:
+            def step(lab):
+                new = DP._seg_min_flood(lab, ch, axis=2, big=sink)
+                new = DP._seg_min_flood(new, cv, axis=1, big=sink)
+                c1 = jnp.any(new != lab)
+                new, chg_top, chg_bot = merge(new)
+                changed = c1 | jnp.any(chg_top) | jnp.any(chg_bot)
+                return new, global_changed(changed)
+
+            lab, chg = step(lab0)
+
+            def cond(s):
+                return s[1] & (s[2] < max_rounds)
+
+            def body(s):
+                lab, _, i = s
+                lab, chg = step(lab)
+                return lab, chg, i + 1
+
+            lab, _, _ = jax.lax.while_loop(cond, body, (lab, chg, jnp.int32(1)))
+
+        # Size epilogue on the full converged labels (one frame over ICI).
+        lab_full = jax.lax.all_gather(lab, "space", axis=1, tiled=True)
+        keep_full = jax.vmap(
+            lambda L: DP._component_keep_sort(L, max_speckle_size)
+        )(lab_full)
+        keep = jax.lax.dynamic_slice_in_dim(keep_full, my * h, h, axis=1)
+        return v & keep
+
+    return run(disp, valid)
 
 
 def sharded_sgbm_disparity(
@@ -94,16 +254,19 @@ def sharded_sgbm_disparity(
 
     disp, valid = run(left, right)
     if cfg.speckle_window_size > 0:
-        # Global pass: full rows per pair, data-parallel over the batch.
-        full = NamedSharding(mesh, P("data", None, None))
-        disp = jax.lax.with_sharding_constraint(disp, full)
-        valid = jax.lax.with_sharding_constraint(valid, full)
-        valid = jax.vmap(
-            lambda d, v: DP.speckle_filter(
-                d, v, cfg.speckle_window_size, float(cfg.speckle_range)
-            )
-        )(disp, valid)
+        valid = _sharded_speckle_with_margin(mesh, disp, valid, cfg)
     return disp, valid
+
+
+def _sharded_speckle_with_margin(mesh, disp, valid, cfg: SGBMConfig):
+    """Sharded speckle on the active columns (the x < minX1 margin is
+    invalid by construction — same slicing as ops.disparity._speckle)."""
+    x0 = cfg.min_disparity + cfg.num_disparities
+    keep = sharded_speckle_filter(
+        mesh, disp[:, :, x0:], valid[:, :, x0:],
+        cfg.speckle_window_size, float(cfg.speckle_range),
+    )
+    return jnp.pad(keep, ((0, 0), (0, 0), (x0, 0)), constant_values=False)
 
 
 # ---------------------------------------------------------------------------
@@ -272,12 +435,5 @@ def sharded_sgbm_disparity_exact(
 
     disp, valid = run(left, right)
     if cfg.speckle_window_size > 0:
-        full = NamedSharding(mesh, P("data", None, None))
-        disp = jax.lax.with_sharding_constraint(disp, full)
-        valid = jax.lax.with_sharding_constraint(valid, full)
-        valid = jax.vmap(
-            lambda d, v: DP.speckle_filter(
-                d, v, cfg.speckle_window_size, float(cfg.speckle_range)
-            )
-        )(disp, valid)
+        valid = _sharded_speckle_with_margin(mesh, disp, valid, cfg)
     return disp, valid

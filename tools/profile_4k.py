@@ -220,12 +220,13 @@ def main():
 
     dfull = jnp.pad(disp, ((0, 0), (D, 0)), constant_values=-1.0)
     vfull = jnp.pad(valid, ((0, 0), (D, 0)), constant_values=False)
+    cfg_spk = cfg.with_(speckle_window_size=100)
     out["speckle_ms"] = ms(
-        lambda d_, v_: DP.speckle_filter(d_, v_, 100, 32.0), (dfull, vfull), 4)
+        lambda d_, v_: DP._speckle(d_, v_, cfg_spk), (dfull, vfull), 4)
     flush()
     out["speckle_sizes_sort_ms"] = ms(
         lambda l_: DP._component_keep_sort(l_, 100),
-        (jnp.zeros((H, W), jnp.int32),), 4)
+        (jnp.zeros((H, W - D), jnp.int32),), 4)
     flush()
 
     out["reproject_ms"] = ms(
@@ -248,7 +249,7 @@ def main():
                               jnp.asarray(geo.R2, jnp.float32),
                               jnp.asarray(geo.P2, jnp.float32)).astype(jnp.uint8)
         d, v = DP.sgbm_disparity_auto(rl, rr, core)
-        keep = DP.speckle_filter(d, v, 100, 32.0)
+        keep = DP._speckle(d, v, cfgS)
         return jnp.sum(jnp.where(keep[..., None], G.reproject_image_to_3d(d, Q), 0.0))
 
     out["e2e_total_ms"] = ms(e2e, (l, r), max(2, it // 2))
