@@ -348,6 +348,11 @@ def cost_volume_pallas(
             pltpu.VMEM((11, WT_, D), jnp.int16),
             pltpu.VMEM((WT_, D), jnp.int32),
         ],
+        # Wider strips (tree amortization at D = 256) exceed Mosaic's
+        # 16 MB default scoped-VMEM budget; v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*inputs)
     return out[10 : 10 + H, :Wc]

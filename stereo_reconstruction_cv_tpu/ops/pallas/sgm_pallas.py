@@ -395,7 +395,28 @@ def _wta_cell(S, d_iota, D, uniqueness_ratio, min_disp):
     while Dp < D:
         Dp *= 2
         lg += 1
-    packed_key = _butterfly_min(S * np.int32(Dp) + d_iota, D)
+    keys = S * np.int32(Dp) + d_iota
+    if D > 128 and D % 128 == 0:
+        # Two-level reduction (r5, VERDICT r4 item 4): every butterfly
+        # step on a D=256 row touches 2 vregs; folding the 128-lane
+        # halves first (static lane slices + elementwise min) narrows the
+        # 8-step/2-vreg butterfly to 7 steps on 1 vreg, then the
+        # replicated result is re-broadcast across the D lanes. Exact:
+        # min over the packed keys is associative, and the fold is just a
+        # different reduction order.
+        folded = jax.lax.slice_in_dim(keys, 0, 128, axis=keys.ndim - 1)
+        for g in range(1, D // 128):
+            folded = jnp.minimum(
+                folded,
+                jax.lax.slice_in_dim(
+                    keys, 128 * g, 128 * (g + 1), axis=keys.ndim - 1
+                ),
+            )
+        packed_key = pltpu.repeat(
+            _butterfly_min(folded, 128), D // 128, axis=keys.ndim - 1
+        )
+    else:
+        packed_key = _butterfly_min(keys, D)
     # Power-of-two decode as shift/mask (keys are non-negative).
     minS = jax.lax.shift_right_logical(packed_key, np.int32(lg))
     best = packed_key & np.int32(Dp - 1)

@@ -47,6 +47,50 @@ from stereo_reconstruction_cv_tpu.ops import disparity as DP
 _COST_HALO = 6
 
 
+def _shift_last(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
+    """x[..., i - s] along the last axis (s > 0 pulls from earlier
+    indices, s < 0 from later), `fill` where out of range."""
+    n = x.shape[-1]
+    if abs(s) >= n:
+        return jnp.full_like(x, fill)
+    pad = [(0, 0)] * (x.ndim - 1)
+    if s > 0:
+        return jnp.pad(x[..., :-s], pad + [(s, 0)], constant_values=fill)
+    return jnp.pad(x[..., -s:], pad + [(0, -s)], constant_values=fill)
+
+
+def _capped_run_counts(sl: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Per-element min(run length, cap + 1) of equal-value runs along the
+    last axis of a SORTED array — exact for runs <= cap + 1, saturated
+    above (sufficient for a `size > cap` test, and for summing capped
+    per-shard counts: min(a,c)+min(b,c) > cap <=> a+b > cap for c=cap+1).
+
+    Hillis-Steele doubling on the consecutive-equal indicator: after the
+    s-step, r[i] = min(true consecutive count, 2s); 7 steps reach 128 >
+    any cap <= 127."""
+    eq_prev = jnp.concatenate(
+        [jnp.zeros_like(sl[..., :1], jnp.bool_), sl[..., 1:] == sl[..., :-1]],
+        axis=-1,
+    )
+    eq_next = jnp.concatenate(
+        [sl[..., 1:] == sl[..., :-1], jnp.zeros_like(sl[..., :1], jnp.bool_)],
+        axis=-1,
+    )
+
+    def runlen(eq, backward):
+        r = eq.astype(jnp.int32)
+        s = 1
+        while s <= cap:
+            sh = _shift_last(r, s if backward else -s, 0)
+            r = r + jnp.where(r >= s, sh, 0)
+            s *= 2
+        return r
+
+    back = runlen(eq_prev, True)    # distance to run start (capped)
+    fwd = runlen(eq_next, False)    # distance to run end (capped)
+    return jnp.minimum(back + fwd + 1, cap + 1)
+
+
 def sharded_speckle_filter(
     mesh: Mesh,
     disp: jnp.ndarray,
@@ -64,10 +108,27 @@ def sharded_speckle_filter(
     monotone min-fixpoint, so iterating {local flood, boundary merge} to
     global quiescence (psum'd change flag) converges to exactly the
     single-device component labels — the fixpoint is unique regardless of
-    relaxation order (confluence). The component-size keep bit is then
-    computed per shard from all-gathered labels (one (H, W) int32 frame
-    over ICI; the two-sort epilogue is replicated — its distribution is
-    the remaining scaling headroom, see docs/MULTICHIP_SCALING.md).
+    relaxation order (confluence).
+
+    The component-size epilogue is ALSO fully sharded (r5) and exact:
+      1. per shard, capped local counts per pixel: sort local (label,
+         idx), run-length the sorted labels capped at T+1, un-sort the
+         capped count (1/ns-sized sorts — these dominated the replicated
+         epilogue);
+      2. every within-shard piece of a cross-shard component touches one
+         of the shard's boundary rows (any path leaving the shard crosses
+         them), so boundary-row (label, count) records — 2*W per shard,
+         all-gathered (~2*ns*W records, tiny) — cover exactly the labels
+         whose local counts are incomplete. Sorting the records by
+         (label, shard), deduping per (label, shard), and segment-summing
+         per label yields the label's GLOBAL capped count (capped
+         summands stay exact for the `> T` test: min(a,c)+min(b,c) > T
+         <=> a+b > T when c = T+1);
+      3. the global keep bit rides back to each shard's boundary rows
+         (small un-sort) and a shard-LOCAL max-flood over the same
+         connectivity spreads it to every pixel of the affected
+         components (min-flood of 2 - o, monotone and confluent);
+         untouched pixels keep their (complete) local decision.
 
     Reference semantics: speckleWindowSize/speckleRange of
     cv2.StereoSGBM (main.ipynb cell 10 :631 +33-34).
@@ -136,6 +197,24 @@ def sharded_speckle_filter(
             Wt = W // Gc
             vround = jax.vmap(flood_round_flagged)
 
+            def local_fixpoint(m):
+                """Shard-local flood of m to ITS fixpoint (no exchanges):
+                used by the override propagation in the epilogue."""
+                rfb_ = jnp.broadcast_to(rf0, (b, Gr))
+                csb_ = jnp.broadcast_to(cs0, (b, Gc))
+
+                def bd(s):
+                    m_, rf_, cs_, _, i_ = s
+                    m_, rf_, cs_, c_ = vround(m_, ch_i, cv_i, rf_, cs_)
+                    return m_, rf_, cs_, global_changed(jnp.any(c_)), i_ + 1
+
+                m, rf_, cs_, c0 = vround(m, ch_i, cv_i, rfb_, csb_)
+                m, _, _, _, _ = jax.lax.while_loop(
+                    lambda s: s[3] & (s[4] < max_rounds),
+                    bd, (m, rf_, cs_, global_changed(jnp.any(c0)), jnp.int32(1)),
+                )
+                return m
+
             def step(lab, rf, cs):
                 lab, rf, cs, c1 = vround(lab, ch_i, cv_i, rf, cs)
                 lab, chg_top, chg_bot = merge(lab)
@@ -169,6 +248,20 @@ def sharded_speckle_filter(
                 cond, body, (lab, rf, cs, chg, jnp.int32(1))
             )
         else:
+            def local_fixpoint(m):
+                def bd(s):
+                    m_, _, i_ = s
+                    new = DP._seg_min_flood(m_, ch, axis=2, big=sink)
+                    new = DP._seg_min_flood(new, cv, axis=1, big=sink)
+                    return new, global_changed(jnp.any(new != m_)), i_ + 1
+
+                m, c, _ = bd((m, None, jnp.int32(0)))
+                m, _, _ = jax.lax.while_loop(
+                    lambda s: s[1] & (s[2] < max_rounds), bd,
+                    (m, c, jnp.int32(1)),
+                )
+                return m
+
             def step(lab):
                 new = DP._seg_min_flood(lab, ch, axis=2, big=sink)
                 new = DP._seg_min_flood(new, cv, axis=1, big=sink)
@@ -189,12 +282,63 @@ def sharded_speckle_filter(
 
             lab, _, _ = jax.lax.while_loop(cond, body, (lab, chg, jnp.int32(1)))
 
-        # Size epilogue on the full converged labels (one frame over ICI).
-        lab_full = jax.lax.all_gather(lab, "space", axis=1, tiled=True)
-        keep_full = jax.vmap(
-            lambda L: DP._component_keep_sort(L, max_speckle_size)
-        )(lab_full)
-        keep = jax.lax.dynamic_slice_in_dim(keep_full, my * h, h, axis=1)
+        # ---- sharded size epilogue (module docstring steps 1-3) ----
+        T = int(max_speckle_size)
+        Nl = h * W
+        flat = lab.reshape(b, Nl)
+        idx = jnp.broadcast_to(jnp.arange(Nl, dtype=jnp.int32), (b, Nl))
+        sl, si = jax.lax.sort((flat, idx), num_keys=1)
+        cnt_sorted = _capped_run_counts(sl, T)  # in [1, T+1]
+        # Un-sort the capped count (cnt <= T+1 <= 128 rides 7 low bits;
+        # si * 128 < 2^31 for any frame below 16M local pixels).
+        packed = jax.lax.sort(si * jnp.int32(128) + cnt_sorted)
+        cnt_px = (packed & jnp.int32(127)).reshape(b, h, W)
+        if ns == 1:
+            return v & (cnt_px > T)
+
+        # Boundary-row (label, count) records, all-gathered (2*ns*W, tiny).
+        blab = jnp.stack([lab[:, 0], lab[:, -1]], axis=1)      # (b, 2, W)
+        bcnt = jnp.stack([cnt_px[:, 0], cnt_px[:, -1]], axis=1)
+        gl = jax.lax.all_gather(blab, "space", axis=1, tiled=True
+                                ).reshape(b, 2 * ns * W)
+        gc = jax.lax.all_gather(bcnt, "space", axis=1, tiled=True
+                                ).reshape(b, 2 * ns * W)
+        Mrec = 2 * ns * W
+        shard_of = jnp.broadcast_to(
+            jnp.arange(Mrec, dtype=jnp.int32) // (2 * W), (b, Mrec)
+        )
+        pos = jnp.broadcast_to(jnp.arange(Mrec, dtype=jnp.int32), (b, Mrec))
+        key = gl * jnp.int32(ns) + shard_of  # (label, shard) lexicographic
+        sk, sc, sp = jax.lax.sort((key, gc, pos), num_keys=1)
+        one_col = jnp.ones_like(sk[..., :1], jnp.bool_)
+        first = jnp.concatenate([one_col, sk[..., 1:] != sk[..., :-1]], axis=-1)
+        c_d = jnp.where(first, sc, 0)  # one count per (label, shard)
+        slab = sk // jnp.int32(ns)
+        conn_rec = jnp.concatenate(
+            [~one_col, slab[..., 1:] == slab[..., :-1]], axis=-1
+        )
+        # Segmented inclusive sum per label (Hillis-Steele), then the
+        # segment TOTAL broadcast back via a segmented max-flood.
+        vv = c_d
+        F = conn_rec
+        s_ = 1
+        while s_ < Mrec:
+            vv = vv + jnp.where(F, _shift_last(vv, s_, 0), 0)
+            F = F & _shift_last(F, s_, False)
+            s_ *= 2
+        tot = -DP._seg_min_flood(-vv, conn_rec, axis=1, big=jnp.int32(1))
+        gkeep = tot > T
+        # Un-sort the keep bit to record order; slice MY boundary rows.
+        packed2 = jax.lax.sort(sp * jnp.int32(2) + gkeep.astype(jnp.int32))
+        keep_rec = (packed2 & 1).astype(jnp.bool_).reshape(b, 2 * ns, W)
+        keep_b = jax.lax.dynamic_slice_in_dim(keep_rec, my * 2, 2, axis=1)
+        # Override max-flood: o in {0 none, 1 remove, 2 keep} seeded on
+        # the boundary rows, spread within components as min(2 - o).
+        o0 = jnp.zeros((b, h, W), jnp.int32)
+        o0 = o0.at[:, 0].set(jnp.where(keep_b[:, 0], 2, 1))
+        o0 = o0.at[:, -1].set(jnp.where(keep_b[:, 1], 2, 1))
+        o = 2 - local_fixpoint(2 - o0)
+        keep = jnp.where(o > 0, o == 2, cnt_px > T)
         return v & keep
 
     return run(disp, valid)
@@ -371,34 +515,119 @@ def sharded_sgbm_disparity_exact(
         # int16 storage -> int32 for the DP scans (as sgm_aggregate does).
         return C[hb:-hb].astype(jnp.int32)
 
-    def seq_dirs(C, dir_list, reverse_order: bool):
-        """Sum of L volumes for directions whose scans cross shards,
-        chained sequentially over 'space' (reversed order for upward
-        paths, which flow from the last shard to the first)."""
+    def seq_dirs(C, dir_list, reverse_order: bool, ncw: int = 16):
+        """Sum of L volumes for directions whose scans cross shards —
+        WAVEFRONT-pipelined over column chunks (r5, VERDICT r4 item 8).
+
+        The r4 implementation serialized whole shards: ns rounds, each
+        computing one shard's rows while the others' results were
+        discarded, costing ~ns x the vertical-sweep work. Here the W axis
+        splits into ncw chunks and shard s scans chunk j at wavefront
+        step s + j, as soon as the upstream shard's carry for that chunk
+        arrives over ICI (lax.ppermute) — after an (ns-1)-step fill every
+        shard streams continuously, so the cross-shard sweep costs
+        (ns-1+ncw)/ncw local passes instead of ns.
+
+        Chunks are processed in the column-shift direction (left-to-right
+        for dx >= 0, right-to-left for dx < 0), so both cross-chunk
+        dependencies — the upstream shard's carry columns and the +-1
+        boundary column of the neighboring chunk (diagonal paths) — are
+        always produced at an earlier wavefront step. The boundary column
+        is re-fed into the chunk scan row-by-row (edge sequence), which
+        reproduces the plain full-width scan's _sgm_step inputs exactly:
+        bit-exactness vs the single-device XLA backend is unchanged
+        (tests/test_parallel.py::TestExactSharded).
+
+        reverse_order=True (upward paths) flips the shard order; rows are
+        flipped by the caller's dy convention below."""
+        b, h, Wc, D = C.shape
         my = jax.lax.axis_index("space")
-        S = jnp.zeros_like(C)
-        order = list(range(ns - 1, -1, -1)) if reverse_order else list(range(ns))
+        my_eff = (ns - 1 - my) if reverse_order else my
         perm = (
             [(i, i - 1) for i in range(1, ns)]
             if reverse_order
             else [(i, i + 1) for i in range(ns - 1)]
         )
+        while Wc % ncw:
+            ncw //= 2
+        cw = Wc // ncw
+        steps = ns - 1 + ncw
+        S = jnp.zeros_like(C)
         for dx, dy in dir_list:
-            # Derive the zero carry from C so it carries C's varying-axes
-            # type under shard_map (a fresh jnp.zeros is 'unvarying' and
-            # fails lax.scan's carry typing).
-            carry = jnp.zeros_like(C[:, 0])
-            out_d = jnp.zeros_like(C)
-            for step, k in enumerate(order):
-                out, carry_out = jax.vmap(
-                    lambda c, cr: _scan_rows_carry(c, dx, dy, cfg.p1, cfg.p2, cr)
-                )(C, carry)
-                out_d = jnp.where(my == k, out, out_d)
-                if step < ns - 1:
-                    sent = jax.lax.ppermute(carry_out, "space", perm)
-                    nxt = order[step + 1]
-                    carry = jnp.where(my == nxt, sent, carry)
-            S = S + out_d
+            vol = C if dy > 0 else C[:, ::-1]
+            l2r = dx >= 0
+
+            def chunk_start(jc, l2r=l2r):
+                return jc * cw if l2r else Wc - (jc + 1) * cw
+
+            def scan_chunk(Cc, carry0, edge_rows, dx=dx):
+                """(h, cw, D) chunk scan; edge_rows[r] = L[r-1, boundary]
+                (row -1 = the cross-shard carry's boundary column)."""
+                def f(cur, inp):
+                    c_row, e_row = inp
+                    if dx == 0:
+                        prev = cur
+                    elif dx > 0:
+                        prev = jnp.concatenate([e_row[None], cur[:-1]], axis=0)
+                    else:
+                        prev = jnp.concatenate([cur[1:], e_row[None]], axis=0)
+                    L = DP._sgm_step(prev, c_row, cfg.p1, cfg.p2)
+                    return L, L
+
+                carry_out, rows = jax.lax.scan(f, carry0, (Cc, edge_rows))
+                return rows, carry_out
+
+            vscan = jax.vmap(scan_chunk)
+
+            def body(t, state, dx=dx, vol=vol):
+                out, carry_buf = state
+                j = t - my_eff
+                jc = jnp.clip(j, 0, ncw - 1).astype(jnp.int32)
+                a = chunk_start(jc)
+                z = jnp.int32(0)
+                Cc = jax.lax.dynamic_slice(vol, (z, z, a, z), (b, h, cw, D))
+                car = jax.lax.dynamic_slice(carry_buf, (z, a, z), (b, cw, D))
+                if dx == 0:
+                    edge = jnp.zeros((b, h, D), C.dtype)
+                elif dx > 0:
+                    outp = jnp.pad(out, ((0, 0), (0, 0), (1, 0), (0, 0)))
+                    ecol = jax.lax.dynamic_slice(
+                        outp, (z, z, a, z), (b, h, 1, D))[:, :, 0]
+                    carp = jnp.pad(carry_buf, ((0, 0), (1, 0), (0, 0)))
+                    ce = jax.lax.dynamic_slice(
+                        carp, (z, a, z), (b, 1, D))[:, 0]
+                    edge = jnp.concatenate([ce[:, None], ecol[:, :-1]], axis=1)
+                else:
+                    outp = jnp.pad(out, ((0, 0), (0, 0), (0, 1), (0, 0)))
+                    ecol = jax.lax.dynamic_slice(
+                        outp, (z, z, a + cw, z), (b, h, 1, D))[:, :, 0]
+                    carp = jnp.pad(carry_buf, ((0, 0), (0, 1), (0, 0)))
+                    ce = jax.lax.dynamic_slice(
+                        carp, (z, a + cw, z), (b, 1, D))[:, 0]
+                    edge = jnp.concatenate([ce[:, None], ecol[:, :-1]], axis=1)
+                rows, carry_out = vscan(Cc, car, edge)
+                active = (j >= 0) & (j < ncw)
+                old = jax.lax.dynamic_slice(out, (z, z, a, z), (b, h, cw, D))
+                out = jax.lax.dynamic_update_slice(
+                    out, jnp.where(active, rows, old), (z, z, a, z)
+                )
+                # Ship this chunk's exit carry downstream; it lands in the
+                # receiver's carry_buf at the SENDER's chunk id
+                # j_recv = t - (my_eff - 1) (garbage guarded by range).
+                sent = jax.lax.ppermute(carry_out, "space", perm)
+                jr = t - my_eff + 1
+                ar = chunk_start(jnp.clip(jr, 0, ncw - 1).astype(jnp.int32))
+                oldc = jax.lax.dynamic_slice(carry_buf, (z, ar, z), (b, cw, D))
+                okr = (jr >= 0) & (jr < ncw)
+                carry_buf = jax.lax.dynamic_update_slice(
+                    carry_buf, jnp.where(okr, sent, oldc), (z, ar, z)
+                )
+                return out, carry_buf
+
+            out0 = jnp.zeros_like(C)
+            cb0 = jnp.zeros_like(C[:, 0])
+            out, _ = jax.lax.fori_loop(0, steps, body, (out0, cb0))
+            S = S + (out if dy > 0 else out[:, ::-1])
         return S
 
     @functools.partial(
