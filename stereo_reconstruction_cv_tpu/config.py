@@ -69,8 +69,14 @@ class MatchConfig:
     # E-RANSAC gate (gui.py:142) assumes of SIFT's DoG-interpolated
     # keypoints. Classical path never uses it.
     lk_refine: bool = True
-    lk_win: int = 7
-    lk_iters: int = 8
+    # r5 sweep (tools/xfeat_tune_d3.py, VERDICT r4 item 5): win 9 /
+    # 16 iters closes the d3 rotation gap vs classical (R_angle 2.422 ->
+    # 2.331 deg vs classical 2.387) with d1 unchanged — the wider patch +
+    # deeper iteration stabilizes the LK alignment on d3's wide-baseline
+    # 4K content. The cosine gate stays 0.5 (0.8 starves d3 to 265
+    # E-inliers and flips the win).
+    lk_win: int = 9
+    lk_iters: int = 16
 
 
 @dataclasses.dataclass(frozen=True)
