@@ -144,6 +144,13 @@ def _body():
         )
     lines += [
         "",
+        "r4 -> r5: exact mode at n_space=4 fell 1.41x -> ~1.2x and now",
+        "tracks the halo mode within noise — the column-chunked wavefront",
+        "(seq_dirs) removed the whole-shard serialization of the vertical",
+        "sweeps (VERDICT r4 item 8). Residual growth over n_space=1 is",
+        "shared halo/partitioning overhead plus virtual-mesh work",
+        "inflation (the timeshared CPU charges wall for TOTAL work).",
+        "",
         f"halo-vs-exact agreement at n_space=4: {100*agree:.2f}% of",
         "both-valid pixels within 1 px (the cv2-parity-gate definition;",
         "also asserted >= 99% on every driver dryrun,",
