@@ -89,10 +89,12 @@ def test_speckle_filter_backends_agree():
     import stereo_reconstruction_cv_tpu.ops.pallas.speckle_pallas as SPK
 
     ref = DP.speckle_filter(disp, valid, 20, 5.0, use_pallas=False)
-    orig = SPK.flood_round_pallas
+    # speckle_filter's pallas branch calls flood_round_flagged (r5);
+    # patch it to interpret mode so the whole-filter path runs on CPU.
+    orig = SPK.flood_round_flagged
     with mock.patch.object(
-        SPK, "flood_round_pallas",
-        lambda lab, ch, cv: orig(lab, ch, cv, interpret=True),
+        SPK, "flood_round_flagged",
+        lambda lab, ch, cv, rf, cs: orig(lab, ch, cv, rf, cs, interpret=True),
     ):
         got = DP.speckle_filter(disp, valid, 20, 5.0, use_pallas=True)
     assert bool(jnp.all(got == ref))
