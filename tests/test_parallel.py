@@ -71,6 +71,34 @@ class TestShardedSGM:
         )
         np.testing.assert_allclose(np.asarray(disp_s), np.asarray(disp_1), atol=1e-5)
 
+    def test_capped_run_counts_exact(self, rng):
+        """_capped_run_counts == min(run length, cap+1) vs a numpy
+        reference on random sorted label arrays (the sharded epilogue's
+        per-shard count primitive)."""
+        from stereo_reconstruction_cv_tpu.parallel.sgm_sharded import (
+            _capped_run_counts,
+        )
+
+        for cap in (5, 20, 100):
+            vals = np.sort(rng.integers(0, 40, size=(3, 500)), axis=1)
+            got = np.asarray(_capped_run_counts(jnp.asarray(vals), cap))
+            for b in range(vals.shape[0]):
+                uniq, counts = np.unique(vals[b], return_counts=True)
+                table = dict(zip(uniq.tolist(), counts.tolist()))
+                want = np.minimum(
+                    np.array([table[v] for v in vals[b].tolist()]), cap + 1
+                )
+                np.testing.assert_array_equal(got[b], want)
+
+    def test_keep_sort_tiny_frame_edge(self):
+        """_component_keep_sort when the whole frame is smaller than the
+        size threshold: nothing can survive (windowed-OR shift guards)."""
+        lab = jnp.zeros((4, 8), jnp.int32)  # one 32-px component
+        keep = DP._component_keep_sort(lab, 100)
+        assert not bool(np.asarray(keep).any())
+        keep2 = DP._component_keep_sort(lab, 31)  # size 32 > 31 -> kept
+        assert bool(np.asarray(keep2).all())
+
     def test_sharded_speckle_exact_vs_single_device(self, rng):
         """Row-sharded speckle flood + keep == single-device speckle_filter
         bit-for-bit, on maps with components crossing shard boundaries AND
