@@ -670,12 +670,15 @@ def main(configs=None) -> int:
     total_budget = float(os.environ.get("STEREO_BENCH_BUDGET_S", "600"))
     t0 = time.monotonic()
     headline = None
-    for c in configs:
+    starved = []
+
+    def run_one(c, retry=False):
+        nonlocal headline
         remaining = total_budget - (time.monotonic() - t0)
         if remaining < 15:
             _emit({"metric": f"config{c}", "skipped": "suite budget exhausted",
                    "budget_s": total_budget})
-            continue
+            return
         try:
             out = _run_capped(_CONFIGS[c],
                               min(_CAPS.get(c, 120) * _CAP_SCALE, remaining))
@@ -685,9 +688,20 @@ def main(configs=None) -> int:
                     headline = obj
         except _Budget:
             _emit({"metric": f"config{c}", "error": "budget",
-                   "cap_s": _CAPS.get(c, 120)})
+                   "cap_s": _CAPS.get(c, 120), "retry": retry})
+            if not retry:
+                starved.append(c)
         except Exception as e:  # one config failing must not hide the rest
             _emit({"metric": f"config{c}", "error": f"{type(e).__name__}: {e}"[:300]})
+
+    for c in configs:
+        run_one(c)
+    # Transient-relay retry pass (r5): the dev relay intermittently stalls
+    # for minutes (observed: a trivial jit round-trip exceeding 300 s with
+    # a warm cache), starving configs under their caps. One retry with the
+    # leftover budget recovers the lines once the relay unsticks.
+    for c in starved:
+        run_one(c, retry=True)
     if headline is not None and len(configs) > 1:
         _emit(headline)  # headline re-emitted last for tail-line parsers
     return 0
