@@ -659,6 +659,25 @@ def _run_capped(fn, cap_s: float):
         signal.signal(signal.SIGALRM, old)
 
 
+def _relay_alive(timeout_s: float = 90.0) -> bool:
+    """One trivial jitted round-trip in a SUBPROCESS (isolates the jax
+    client from an alarm-killed device call): ~15-30 s when the dev relay
+    is healthy, timeout when it is in one of its multi-minute stalls."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp, numpy as np; "
+            "print(float(np.asarray(jax.jit(lambda x: x + 1.0)"
+            "(jnp.float32(0.0)))))")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main(configs=None) -> int:
     if configs is None:
         env = os.environ.get("STEREO_BENCH_CONFIGS")
@@ -669,6 +688,17 @@ def main(configs=None) -> int:
     # timeout (round 3 was rc=124 with only 2 of 6 lines out).
     total_budget = float(os.environ.get("STEREO_BENCH_BUDGET_S", "600"))
     t0 = time.monotonic()
+    # Relay-liveness gate (r5): during a relay stall every config starves
+    # under its cap and the whole budget burns into a dead link. With a
+    # warm cache the suite needs ~400 s of LIVE relay, so spend up to
+    # half the budget waiting for a live window first. (Skipped on CPU
+    # runs — the tests' environment sets JAX_PLATFORMS=cpu.)
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        while not _relay_alive(90.0):
+            waited = time.monotonic() - t0
+            _emit({"relay": "stalled", "waited_s": round(waited, 1)})
+            if waited > 0.5 * total_budget:
+                break
     headline = None
     starved = []
 
